@@ -1,0 +1,137 @@
+"""End-to-end render tests: tile pipeline vs the reference oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unitygaussiansplatting_tpu.models.camera import Camera
+from unitygaussiansplatting_tpu.models.renderer import render, render_over_background
+from unitygaussiansplatting_tpu.ops.binning import bin_splats, pair_budget
+from unitygaussiansplatting_tpu.ops.projection import project_splats
+from unitygaussiansplatting_tpu.utils.config import RasterizeConfig, RenderSettings
+from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return sphere_scene(n=2000, seed=0).activate()
+
+
+@pytest.fixture(scope="module")
+def camera():
+    return Camera.look_at(
+        eye=[0.0, 0.5, -3.0],
+        target=[0.0, 0.0, 0.0],
+        up=[0.0, 1.0, 0.0],
+        fov_y_deg=45.0,
+        width=192,
+        height=128,
+    )
+
+
+class TestProjection:
+    def test_shapes_and_validity(self, scene, camera):
+        proj = project_splats(scene, camera)
+        n = scene.num_splats
+        assert proj.center.shape == (n, 2)
+        assert proj.conic.shape == (n, 3)
+        assert bool(jnp.any(proj.valid))
+        # Center of the cloud should project near image center.
+        mean_center = np.asarray(
+            jnp.mean(proj.center[proj.valid], axis=0)
+        )
+        assert 0 < mean_center[0] < camera.width
+        assert 0 < mean_center[1] < camera.height
+
+    def test_depth_positive_for_valid(self, scene, camera):
+        proj = project_splats(scene, camera)
+        assert float(jnp.min(jnp.where(proj.valid, proj.depth, 1.0))) > 0
+
+    def test_kill_mask(self, scene, camera):
+        mask = jnp.ones((scene.num_splats,), bool)
+        proj = project_splats(scene, camera, kill_mask=mask)
+        assert not bool(jnp.any(proj.valid))
+
+
+class TestBinning:
+    def test_ranges_are_consistent(self, scene, camera):
+        proj = project_splats(scene, camera)
+        b = bin_splats(proj, camera.width, camera.height)
+        starts = np.asarray(b.tile_starts)
+        assert (np.diff(starts) >= 0).all()
+        k = pair_budget(scene.num_splats, RasterizeConfig())
+        assert starts[-1] <= k
+        # Every pair within a tile range must reference a real splat.
+        pair_splat = np.asarray(b.pair_splat)
+        assert (pair_splat[: starts[-1]] < scene.num_splats).all()
+
+    def test_pairs_depth_sorted_within_tile(self, scene, camera):
+        proj = project_splats(scene, camera)
+        b = bin_splats(proj, camera.width, camera.height)
+        starts = np.asarray(b.tile_starts)
+        depth = np.asarray(proj.depth)
+        pair_splat = np.asarray(b.pair_splat)
+        for t in range(len(starts) - 1):
+            seg = pair_splat[starts[t] : starts[t + 1]]
+            d = depth[seg]
+            assert (np.diff(d) >= -1e-6).all(), f"tile {t} not depth sorted"
+
+    def test_tile_membership(self, scene, camera):
+        # Each pair's splat quad AABB must actually overlap the pair's tile.
+        config = RasterizeConfig()
+        proj = project_splats(scene, camera)
+        b = bin_splats(proj, camera.width, camera.height, config)
+        starts = np.asarray(b.tile_starts)
+        from unitygaussiansplatting_tpu.ops.binning import tile_grid
+
+        tiles_x, _ = tile_grid(camera.width, camera.height, config)
+        pair_splat = np.asarray(b.pair_splat)
+        pair_tile = np.asarray(b.pair_tile)
+        center = np.asarray(proj.center)
+        a1, a2 = np.asarray(proj.axis1), np.asarray(proj.axis2)
+        rx = 2 * (np.abs(a1[:, 0]) + np.abs(a2[:, 0]))
+        ry = 2 * (np.abs(a1[:, 1]) + np.abs(a2[:, 1]))
+        for p in range(0, starts[-1], 97):
+            s, t = pair_splat[p], pair_tile[p]
+            tx, ty = t % tiles_x, t // tiles_x
+            x_lo, x_hi = tx * config.tile_w, (tx + 1) * config.tile_w
+            y_lo, y_hi = ty * config.tile_h, (ty + 1) * config.tile_h
+            assert center[s, 0] + rx[s] >= x_lo and center[s, 0] - rx[s] <= x_hi
+            assert center[s, 1] + ry[s] >= y_lo and center[s, 1] - ry[s] <= y_hi
+
+
+class TestRasterize:
+    def test_tile_matches_oracle(self, scene, camera):
+        ref = render(scene, camera, backend="reference")
+        got = render(scene, camera, backend="jax")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+    def test_sh_orders_differ(self, scene, camera):
+        img0 = render(scene, camera, settings=RenderSettings(sh_order=0))
+        img3 = render(scene, camera, settings=RenderSettings(sh_order=3))
+        assert not np.allclose(np.asarray(img0), np.asarray(img3))
+
+    def test_alpha_in_range(self, scene, camera):
+        img = render(scene, camera)
+        a = np.asarray(img[..., 3])
+        assert a.min() >= 0.0 and a.max() <= 1.0 + 1e-5
+        assert a.max() > 0.1  # something was drawn
+
+    def test_composite_background(self, scene, camera):
+        out = render_over_background(
+            scene, camera, background=jnp.asarray([1.0, 0.0, 0.0])
+        )
+        corner = np.asarray(out[0, 0])  # likely empty corner -> background
+        np.testing.assert_allclose(corner, [1.0, 0.0, 0.0], atol=1e-3)
+
+    def test_opacity_scale_monotonic(self, scene, camera):
+        lo = render(scene, camera, settings=RenderSettings(opacity_scale=0.2))
+        hi = render(scene, camera, settings=RenderSettings(opacity_scale=1.0))
+        assert float(jnp.sum(hi[..., 3])) > float(jnp.sum(lo[..., 3]))
+
+    def test_jit_render(self, scene, camera):
+        f = jax.jit(lambda g: render(g, camera))
+        img = f(scene)
+        img2 = f(scene)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(img2), atol=0)

@@ -1,0 +1,131 @@
+"""Depth sorting and screen-tile binning of projected splats.
+
+The reference renders with a global GPU radix sort over view-space depth
+followed by hardware alpha blending of instanced quads
+(package/Runtime/GpuSorting.cs:142-198, package/Shaders/SplatUtilities.compute:69-82,
+RenderGaussianSplats.shader:10-12).  TPUs have no hardware blending, so the
+TPU-native formulation is the tile-binned rasterizer of the official 3DGS
+CUDA implementation, restructured for static shapes:
+
+1. depth-sort all splats (``jax.lax.sort``; a Pallas radix sort can swap in),
+2. duplicate each splat into every screen tile its quad AABB overlaps, into a
+   *static* pair budget, using ``jnp.repeat(..., total_repeat_length=K)``,
+3. stable-sort pairs by tile id — stability preserves the depth order within
+   each tile, so no composite key is needed,
+4. per-tile contiguous ranges via ``searchsorted``.
+
+Tiles are ``tile_h x tile_w`` pixels with tile_w = 128 (the VPU lane width),
+so the per-tile compositing kernel runs at full vector utilization.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import RasterizeConfig
+from .projection import ProjectedSplats
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class TileBinning(NamedTuple):
+    """Tile-sorted (splat, tile) pair lists plus per-tile ranges.
+
+    Contains only arrays so it passes cleanly through jit boundaries; the
+    tile-grid dims are recomputed from (width, height, config) via
+    :func:`tile_grid` wherever needed.
+    """
+
+    pair_splat: jnp.ndarray  # (K,) int32 splat index per pair, tile-sorted
+    pair_tile: jnp.ndarray  # (K,) int32 tile id per pair (num_tiles = sentinel)
+    tile_starts: jnp.ndarray  # (T + 1,) int32: pairs of tile t are [s[t], s[t+1])
+    num_pairs: jnp.ndarray  # () int32 actual pair count before budget clipping
+
+
+def pair_budget(num_splats: int, config: RasterizeConfig) -> int:
+    """Static (splat, tile) pair capacity for a given splat count."""
+    k = int(num_splats * config.pair_multiplier)
+    return max(cdiv(k, 1024) * 1024, 1024)
+
+
+def tile_grid(width: int, height: int, config: RasterizeConfig) -> tuple[int, int]:
+    return cdiv(width, config.tile_w), cdiv(height, config.tile_h)
+
+
+def bin_splats(
+    proj: ProjectedSplats,
+    width: int,
+    height: int,
+    config: RasterizeConfig = RasterizeConfig(),
+) -> TileBinning:
+    """Bin projected splats into depth-ordered per-tile pair lists.
+
+    Splats whose quad AABB misses the screen produce no pairs (the analog of
+    the reference's NaN-discard of behind-camera splats plus Unity's clip-space
+    quad culling).  If the pair budget overflows, the *deepest* splats lose
+    their pairs first — pairs are generated in depth order and truncated at K.
+    """
+    n = proj.depth.shape[0]
+    tiles_x, tiles_y = tile_grid(width, height, config)
+    num_tiles = tiles_x * tiles_y
+    k = pair_budget(n, config)
+
+    # Quad AABB: corners are center +- 2*axis1 +- 2*axis2
+    # (RenderGaussianSplats.shader:54-61).
+    rx = 2.0 * (jnp.abs(proj.axis1[:, 0]) + jnp.abs(proj.axis2[:, 0]))
+    ry = 2.0 * (jnp.abs(proj.axis1[:, 1]) + jnp.abs(proj.axis2[:, 1]))
+    cx, cy = proj.center[:, 0], proj.center[:, 1]
+
+    x0 = jnp.clip(jnp.floor((cx - rx) / config.tile_w), 0, tiles_x).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((cx + rx) / config.tile_w) + 1, 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((cy - ry) / config.tile_h), 0, tiles_y).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((cy + ry) / config.tile_h) + 1, 0, tiles_y).astype(jnp.int32)
+    nx = jnp.maximum(x1 - x0, 0)
+    ny = jnp.maximum(y1 - y0, 0)
+    counts = jnp.where(proj.valid, nx * ny, 0)
+
+    # Depth-sort the splats (invalid ones sink to the end).
+    sort_key = jnp.where(proj.valid, proj.depth, jnp.inf)
+    _, order = jax.lax.sort((sort_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    counts_s = counts[order]
+
+    offsets = jnp.cumsum(counts_s) - counts_s  # exclusive scan
+    num_pairs = offsets[-1] + counts_s[-1] if n > 0 else jnp.int32(0)
+
+    # Expand to pair slots.  A sentinel row with a huge count absorbs the slots
+    # past `num_pairs`, keeping every shape static.
+    counts_ext = jnp.concatenate([counts_s, jnp.asarray([k], counts_s.dtype)])
+    slot_rank = jnp.repeat(
+        jnp.arange(n + 1, dtype=jnp.int32), counts_ext, total_repeat_length=k
+    )  # (K,) index into depth-sorted splat list, == n for overflow slots
+    offsets_ext = jnp.concatenate([offsets, num_pairs[None]])
+
+    j = jnp.arange(k, dtype=jnp.int32) - offsets_ext[slot_rank]
+    is_real = slot_rank < n
+    safe = jnp.minimum(slot_rank, n - 1)
+    snx = jnp.maximum(nx[order][safe], 1)
+    tx = x0[order][safe] + j % snx
+    ty = y0[order][safe] + j // snx
+    tile_id = jnp.where(is_real, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
+    splat_id = jnp.where(is_real, order[safe], n).astype(jnp.int32)
+
+    # Stable sort by tile id keeps pairs depth-ordered within each tile.
+    pair_tile, pair_splat = jax.lax.sort(
+        (tile_id, splat_id), num_keys=1, is_stable=True
+    )
+
+    tile_starts = jnp.searchsorted(
+        pair_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+
+    return TileBinning(
+        pair_splat=pair_splat,
+        pair_tile=pair_tile,
+        tile_starts=tile_starts,
+        num_pairs=num_pairs,
+    )

@@ -1,0 +1,137 @@
+"""Splat projection: world-space Gaussians -> screen-space view data.
+
+The TPU-native equivalent of the reference's per-splat view-calc kernel
+``CSCalcViewData`` (package/Shaders/SplatUtilities.compute:189-252): world/clip
+transform, deleted/cutout kill, 3D covariance -> EWA 2D covariance ->
+screen-axis decomposition, SH shading.  One fully-vectorized jnp pass over all
+N splats; pointwise over the splat axis, so it shards trivially along a device
+mesh and XLA fuses the whole chain.
+
+Output differences from the reference's 40-byte ``SplatViewData``
+(GaussianSplatting.hlsl:610-615): we additionally keep the conic and depth
+(the reference re-derives pixel falloff from the quad axes in the fragment
+shader and sorts by a separate distance-key pass, SplatUtilities.compute:69-82;
+our tile rasterizer consumes conics directly).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, NamedTuple
+
+import jax.numpy as jnp
+
+from ..utils.config import RenderSettings
+from .covariance import covariance3d, decompose_covariance2d, ewa_project
+from .sh import shade_sh
+
+if TYPE_CHECKING:  # avoid a models <-> ops circular import at runtime
+    from ..models.camera import Camera
+    from ..models.gaussians import Gaussians
+
+OPACITY_CLAMP = 65000.0  # SplatUtilities.compute:246
+
+
+class ProjectedSplats(NamedTuple):
+    """Screen-space splat data, one entry per input splat."""
+
+    depth: jnp.ndarray  # (N,) view-space depth (> 0 in front of camera)
+    center: jnp.ndarray  # (N, 2) pixel coords of the splat center (y down)
+    axis1: jnp.ndarray  # (N, 2) major screen axis, pixels
+    axis2: jnp.ndarray  # (N, 2) minor screen axis, pixels
+    conic: jnp.ndarray  # (N, 3) inverse 2D covariance (a, b, c), pixel space
+    color: jnp.ndarray  # (N, 3) shaded RGB
+    opacity: jnp.ndarray  # (N,) scaled opacity
+    valid: jnp.ndarray  # (N,) bool: in front of camera and not killed
+
+
+def project_splats(
+    g: "Gaussians",
+    camera: "Camera",
+    settings: RenderSettings = RenderSettings(),
+    model: jnp.ndarray | None = None,
+    kill_mask: jnp.ndarray | None = None,
+) -> ProjectedSplats:
+    """Project a Gaussian cloud into screen space.
+
+    Args:
+      g: activated splat cloud.
+      camera: the render camera.
+      settings: display options (splat/opacity scale, SH order).
+      model: optional (4, 4) object->world matrix; identity when None.  Like
+        the reference, the covariance pipeline runs in object space with the
+        model rotation folded into the model-view matrix
+        (SplatUtilities.compute:236 passes ``_MatrixMV``).
+      kill_mask: optional (N,) bool; True kills a splat (deleted bits /
+        cutouts — the reference forces clip w to 0, compute:204-220).
+    """
+    view = camera.view
+    if model is not None:
+        mv = view @ model
+        means_world = g.means @ model[:3, :3].T + model[:3, 3]
+        # Reference shades SH in object space via the world->object rotation
+        # (compute:240-242); equivalent here to rotating the world-space view
+        # direction by the inverse model rotation.
+        inv_model_rot = jnp.linalg.inv(model[:3, :3])
+    else:
+        mv = view
+        means_world = g.means
+        inv_model_rot = None
+
+    view_pos = g.means @ mv[:3, :3].T + mv[:3, 3]
+    depth = view_pos[..., 2]
+    in_front = depth > 1e-8
+    if kill_mask is not None:
+        valid = in_front & (~kill_mask)
+    else:
+        valid = in_front
+
+    center = camera.view_to_pixel(view_pos)
+
+    # 3D covariance in object space, scaled by splat_scale^2 (compute:229-235).
+    cov6 = covariance3d(g.rotations, g.scales)
+    splat_scale2 = jnp.square(jnp.asarray(settings.splat_scale, dtype=cov6.dtype))
+    cov6 = cov6 * splat_scale2
+
+    cov2d = ewa_project(
+        view_pos, cov6, mv[:3, :3], camera.focal, camera.tan_fovx, camera.tan_fovy
+    )
+    axes = decompose_covariance2d(cov2d)
+
+    cxx, cxy, cyy = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
+    det = cxx * cyy - cxy * cxy
+    inv_det = 1.0 / jnp.maximum(det, 1e-12)
+    conic = jnp.stack([cyy * inv_det, -cxy * inv_det, cxx * inv_det], axis=-1)
+
+    # View-dependent color: direction camera->splat in object space.
+    cam_pos = camera.position
+    view_dir = means_world - cam_pos
+    if inv_model_rot is not None:
+        view_dir = view_dir @ inv_model_rot.T
+    view_dir = view_dir / jnp.maximum(
+        jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-12
+    )
+    color = shade_sh(
+        g.base_color,
+        g.sh if settings.sh_order > 0 else None,
+        view_dir,
+        settings.sh_order,
+        settings.sh_only,
+    )
+    opacity = jnp.minimum(
+        g.opacities * jnp.asarray(settings.opacity_scale, dtype=g.opacities.dtype),
+        OPACITY_CLAMP,
+    )
+    if settings.fp16_color:
+        color = color.astype(jnp.float16).astype(jnp.float32)
+        opacity = opacity.astype(jnp.float16).astype(jnp.float32)
+
+    return ProjectedSplats(
+        depth=depth,
+        center=center,
+        axis1=axes.axis1,
+        axis2=axes.axis2,
+        conic=conic,
+        color=color,
+        opacity=opacity,
+        valid=valid,
+    )

@@ -1,0 +1,75 @@
+"""Spherical-harmonics shading, degrees 0-3.
+
+TPU-native equivalent of the reference's SH evaluation
+(package/Shaders/GaussianSplatting.hlsl:130-179).  Vectorized over splats;
+`sh_order` is a static Python int so each order compiles to a specialized
+kernel (the analog of the reference's uniform-branching shader).
+
+Layout: ``sh`` is (..., 15, 3) — bands 1..3 interleaved RGB, matching the
+reference's canonical interleaved order after import reshuffling
+(package/Editor/Utils/GaussianFileReader.cs:185-208).  The DC term is carried
+separately as a precomputed base color (``sh0 * SH_C0 + 0.5``,
+GaussianUtils.cs:14-18).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+SH_C1 = 0.4886025
+SH_C2 = (1.0925484, -1.0925484, 0.3153916, -1.0925484, 0.5462742)
+SH_C3 = (-0.5900436, 2.8906114, -0.4570458, 0.3731763, -0.4570458, 1.4453057, -0.5900436)
+
+
+def shade_sh(
+    base_color: jnp.ndarray,
+    sh: jnp.ndarray | None,
+    view_dir: jnp.ndarray,
+    sh_order: int,
+    only_sh: bool = False,
+) -> jnp.ndarray:
+    """Evaluate view-dependent color from SH coefficients.
+
+    Args:
+      base_color: (..., 3) precomputed DC color (sh0*C0 + 0.5).
+      sh: (..., 15, 3) band 1..3 coefficients, or None when sh_order == 0.
+      view_dir: (..., 3) normalized direction from camera to splat in object
+        space.  The reference passes camera->splat negated then flips it again
+        inside ShadeSH (hlsl:139-141); here the caller passes splat-minus-camera
+        directly and no flip happens.
+      sh_order: static int in [0, 3].
+      only_sh: debug mode replacing the DC term with 0.5 (hlsl:146-148).
+
+    Returns (..., 3) color, clamped to >= 0 (hlsl:178).
+    """
+    if not 0 <= sh_order <= 3:
+        raise ValueError(f"sh_order must be in [0, 3], got {sh_order}")
+
+    res = jnp.where(only_sh, 0.5, base_color) if only_sh else base_color
+    if sh_order >= 1:
+        assert sh is not None
+        x = view_dir[..., 0:1]
+        y = view_dir[..., 1:2]
+        z = view_dir[..., 2:3]
+        res = res + SH_C1 * (-sh[..., 0, :] * y + sh[..., 1, :] * z - sh[..., 2, :] * x)
+        if sh_order >= 2:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            res = res + (
+                (SH_C2[0] * xy) * sh[..., 3, :]
+                + (SH_C2[1] * yz) * sh[..., 4, :]
+                + (SH_C2[2] * (2 * zz - xx - yy)) * sh[..., 5, :]
+                + (SH_C2[3] * xz) * sh[..., 6, :]
+                + (SH_C2[4] * (xx - yy)) * sh[..., 7, :]
+            )
+            if sh_order >= 3:
+                res = res + (
+                    (SH_C3[0] * y * (3 * xx - yy)) * sh[..., 8, :]
+                    + (SH_C3[1] * xy * z) * sh[..., 9, :]
+                    + (SH_C3[2] * y * (4 * zz - xx - yy)) * sh[..., 10, :]
+                    + (SH_C3[3] * z * (2 * zz - 3 * xx - 3 * yy)) * sh[..., 11, :]
+                    + (SH_C3[4] * x * (4 * zz - xx - yy)) * sh[..., 12, :]
+                    + (SH_C3[5] * z * (xx - yy)) * sh[..., 13, :]
+                    + (SH_C3[6] * x * (xx - 3 * yy)) * sh[..., 14, :]
+                )
+    return jnp.maximum(res, 0.0)

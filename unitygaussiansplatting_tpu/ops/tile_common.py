@@ -1,0 +1,71 @@
+"""Shared per-tile compositing math for the XLA and Pallas rasterizer paths.
+
+The TPU-native inner loop: instead of blending one splat at a time (the
+reference's hardware blend, RenderGaussianSplats.shader:10-12), a *chunk* of C
+depth-ordered splats is processed together —
+
+- alpha of all C splats at all tile pixels: one (C, P) VPU evaluation,
+- per-pixel transmittance prefix within the chunk: cumulative product along C,
+- color accumulation: a (P, C) x (C, 3) matmul on the MXU.
+
+Both rasterize_tiles_jax (pure XLA) and the Pallas kernel call these
+functions, so the two paths are bit-compatible by construction.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils.config import RasterizeConfig
+
+
+def chunk_alphas(
+    center: jnp.ndarray,  # (C, 2)
+    axis1: jnp.ndarray,  # (C, 2)
+    axis2: jnp.ndarray,  # (C, 2)
+    opacity: jnp.ndarray,  # (C,)
+    px: jnp.ndarray,  # (P,) pixel-center x
+    py: jnp.ndarray,  # (P,) pixel-center y
+    config: RasterizeConfig,
+) -> jnp.ndarray:
+    """Quad-clipped Gaussian alpha for C splats at P pixels; (C, P).
+
+    Identical math to the fragment shader (RenderGaussianSplats.shader:79-104)
+    and to rasterize_ref.splat_alpha_map, vectorized over the chunk.
+    """
+    dx = px[None, :] - center[:, 0:1]  # (C, P)
+    dy = py[None, :] - center[:, 1:2]
+    a1_sq = jnp.maximum(jnp.sum(axis1 * axis1, axis=-1, keepdims=True), 1e-12)
+    a2_sq = jnp.maximum(jnp.sum(axis2 * axis2, axis=-1, keepdims=True), 1e-12)
+    qx = (dx * axis1[:, 0:1] + dy * axis1[:, 1:2]) / a1_sq
+    qy = (dx * axis2[:, 0:1] + dy * axis2[:, 1:2]) / a2_sq
+    power = -(qx * qx + qy * qy)
+    alpha = jnp.exp(power) * opacity[:, None]
+    alpha = jnp.clip(alpha, 0.0, config.alpha_max)
+    keep = alpha >= config.alpha_discard
+    if config.quad_clip:
+        keep &= (jnp.abs(qx) <= 2.0) & (jnp.abs(qy) <= 2.0)
+    return jnp.where(keep, alpha, 0.0)
+
+
+def composite_chunk(
+    transmittance: jnp.ndarray,  # (P,) running per-pixel transmittance
+    alphas: jnp.ndarray,  # (C, P) chunk alphas, depth-ordered along C
+    colors: jnp.ndarray,  # (C, 3)
+):
+    """Fold one chunk into the running composite.
+
+    Returns (rgb_contrib (P, 3), alpha_contrib (P,), new_transmittance (P,)).
+
+    Front-to-back "under" compositing: weight of splat i is
+    ``T_in * prod_{j<i}(1 - a_j) * a_i`` — the exclusive prefix product is a
+    cumprod along the chunk axis, and the color sum is a single MXU matmul.
+    """
+    one_minus = 1.0 - alphas
+    cum = jnp.cumprod(one_minus, axis=0)  # inclusive prefix (C, P)
+    excl = jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0)
+    w = excl * alphas * transmittance[None, :]  # (C, P)
+    rgb = jnp.dot(w.T, colors, preferred_element_type=jnp.float32)  # (P, 3)
+    alpha_contrib = jnp.sum(w, axis=0)
+    new_t = transmittance * cum[-1]
+    return rgb, alpha_contrib, new_t

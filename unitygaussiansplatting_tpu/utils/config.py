@@ -1,0 +1,69 @@
+"""Configuration dataclasses for the renderer.
+
+The TPU-native replacement for the reference's config surfaces: serialized
+component fields (package/Runtime/GaussianSplatRenderer.cs:225-251), shader
+keyword multi-compiles and the packed ``_SplatFormat`` word
+(GaussianSplatRenderer.cs:502-503).  Static fields (pytree metadata) become
+compile-time kernel specializations, exactly like shader variants; traced
+fields stay runtime-adjustable without recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Per-renderer display options (GaussianSplatRenderer.cs:225-251).
+
+    splat_scale / opacity_scale are traced (tweakable per frame without
+    recompiling); sh_order / sh_only specialize the shading kernel like the
+    reference's ``_SHOrder`` uniform branch.
+    """
+
+    splat_scale: jnp.ndarray | float = 1.0  # range 0.1..2.0 in the reference UI
+    opacity_scale: jnp.ndarray | float = 1.0  # range 0.05..20.0
+    sh_order: int = dataclasses.field(default=3, metadata={"static": True})
+    sh_only: bool = dataclasses.field(default=False, metadata={"static": True})
+    # Round projected color/opacity through fp16 like the reference's packed
+    # SplatViewData (SplatUtilities.compute:247-248); off by default to keep
+    # the forward pass smooth for training.
+    fp16_color: bool = dataclasses.field(default=False, metadata={"static": True})
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    """Static tiling/budget configuration for the tile rasterizer.
+
+    TPU-native choices: tiles are ``tile_h x tile_w`` pixels with ``tile_w``
+    fixed at the 128-lane VPU width (the reference instead relies on hardware
+    quad blending, RenderGaussianSplats.shader:10-12); ``pair_budget`` caps the
+    (splat, tile) duplication list so every shape stays static under jit.
+    """
+
+    tile_h: int = dataclasses.field(default=16, metadata={"static": True})
+    tile_w: int = dataclasses.field(default=128, metadata={"static": True})
+    # Max (splat, tile) pairs as a multiple of N; pairs beyond the budget are
+    # dropped far-field first (they sort after the cutoff).
+    pair_multiplier: float = dataclasses.field(default=4.0, metadata={"static": True})
+    # Splats processed per inner-kernel chunk; also the MXU contraction dim of
+    # the color accumulation matmul.
+    chunk_size: int = dataclasses.field(default=128, metadata={"static": True})
+    # Stop compositing a tile once max transmittance drops below this
+    # (the official 3DGS early-out; reference relies on 1/255 alpha discard).
+    transmittance_eps: float = dataclasses.field(default=1e-4, metadata={"static": True})
+    # Alpha handling identical to the reference fragment shader
+    # (RenderGaussianSplats.shader:79-108).
+    alpha_discard: float = dataclasses.field(default=1.0 / 255.0, metadata={"static": True})
+    alpha_max: float = dataclasses.field(default=0.9999, metadata={"static": True})
+    # Clip splats to their |q| <= 2 eigen-axis quad like the reference's
+    # instanced-quad geometry (RenderGaussianSplats.shader:54-55).  Disabling
+    # (together with alpha_discard=0) makes the forward pass smooth, which
+    # gradient finite-difference tests need.
+    quad_clip: bool = dataclasses.field(default=True, metadata={"static": True})
