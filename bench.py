@@ -1,0 +1,96 @@
+"""Benchmark: forward render throughput on the headline-class scene.
+
+Headline metric mirrors the reference's (BASELINE.md): bicycle-class scene,
+6.1M splats at 1200x797 — the reference does 6.8 ms/frame on an RTX 3080 Ti
+(readme.md:79-84).  The bicycle asset itself is not distributable, so the
+bench renders a synthetic scene with the same splat count, resolution and SH
+order.  ``vs_baseline`` is reference_ms / our_ms (>1 means faster than the
+reference GPU).
+
+Dispatch to the tunneled TPU costs ~30-200 ms per call, so frames are
+iterated *inside* one compiled computation (lax.scan over per-frame opacity
+scales, which prevents CSE between iterations).
+
+Env knobs: BENCH_N (splats), BENCH_W/BENCH_H, BENCH_FRAMES, BENCH_BACKEND.
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_MS = 6.8  # readme.md:84, RTX 3080 Ti
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", 6_100_000))
+    width = int(os.environ.get("BENCH_W", 1200))
+    height = int(os.environ.get("BENCH_H", 797))
+    frames = int(os.environ.get("BENCH_FRAMES", 8))
+    backend = os.environ.get("BENCH_BACKEND", "jax")
+
+    from unitygaussiansplatting_tpu.models.camera import Camera
+    from unitygaussiansplatting_tpu.models.renderer import render
+    from unitygaussiansplatting_tpu.utils.config import RasterizeConfig, RenderSettings
+    from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene
+
+    scene = sphere_scene(n=n, seed=0).activate()
+    camera = Camera.look_at(
+        eye=[0.0, 0.6, -3.0],
+        target=[0.0, 0.0, 0.0],
+        up=[0.0, 1.0, 0.0],
+        fov_y_deg=47.0,
+        width=width,
+        height=height,
+    )
+    config = RasterizeConfig()
+
+    def frame(g, opacity_scale):
+        settings = RenderSettings(sh_order=3, opacity_scale=opacity_scale)
+        return render(g, camera, settings, config, backend=backend)
+
+    @jax.jit
+    def run(g, scales):
+        def body(acc, s):
+            img = frame(g, s)
+            return acc + jnp.mean(img), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), scales)
+        return acc
+
+    scales1 = jnp.ones((1,), jnp.float32)
+    scalesN = jnp.linspace(0.99, 1.01, frames).astype(jnp.float32)
+
+    # Warm up / compile both shapes.
+    jax.block_until_ready(run(scene, scales1))
+    jax.block_until_ready(run(scene, scalesN))
+
+    # Time N-frame and 1-frame runs; per-frame = slope, removing dispatch.
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(scene, scalesN))
+    t_n = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(scene, scales1))
+    t_1 = time.perf_counter() - t0
+    ms_per_frame = (t_n - t_1) / (frames - 1) * 1000.0 if frames > 1 else t_n * 1000.0
+
+    print(
+        json.dumps(
+            {
+                "metric": f"fwd ms/frame, synthetic bicycle-class {n} splats @{width}x{height} SH3",
+                "value": round(ms_per_frame, 3),
+                "unit": "ms",
+                "vs_baseline": round(REFERENCE_MS / ms_per_frame, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

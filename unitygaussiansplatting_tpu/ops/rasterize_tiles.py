@@ -49,19 +49,19 @@ def rasterize_tiles_jax(
     width: int,
     height: int,
     config: RasterizeConfig = RasterizeConfig(),
-    max_pairs_per_tile: int = 8192,
 ) -> jnp.ndarray:
     """Composite tile-binned splats; returns (H, W, 4) premultiplied RGBA.
 
-    ``max_pairs_per_tile`` is the static per-tile work cap (XLA needs a static
-    trip count; the Pallas kernel instead loops to the true per-tile count).
+    ``config.max_pairs_per_tile`` is the static per-tile work cap (XLA needs a
+    static trip count; the Pallas kernel instead loops to the true per-tile
+    count).
     """
     th, tw = config.tile_h, config.tile_w
     chunk = config.chunk_size
     tiles_x, tiles_y = tile_grid(width, height, config)
     num_tiles = tiles_x * tiles_y
     p = th * tw
-    max_chunks = cdiv(max_pairs_per_tile, chunk)
+    max_chunks = cdiv(config.max_pairs_per_tile, chunk)
 
     center, axis1, axis2, color, opacity = gather_pair_data(proj, binning, chunk)
 

@@ -16,9 +16,14 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+import numpy as np
+
 SH_C1 = 0.4886025
 SH_C2 = (1.0925484, -1.0925484, 0.3153916, -1.0925484, 0.5462742)
 SH_C3 = (-0.5900436, 2.8906114, -0.4570458, 0.3731763, -0.4570458, 1.4453057, -0.5900436)
+
+# Coefficient index ranges of bands 1..3 within the 15-coefficient layout.
+BAND_SLICES = (slice(0, 3), slice(3, 8), slice(8, 15))
 
 
 def shade_sh(
@@ -73,3 +78,97 @@ def shade_sh(
                     + (SH_C3[6] * x * (xx - 3 * yy)) * sh[..., 14, :]
                 )
     return jnp.maximum(res, 0.0)
+
+
+def sh_basis(d: jnp.ndarray) -> jnp.ndarray:
+    """The 15 band-1..3 basis functions at directions d; (..., 15).
+
+    Defined so that ``shade_sh(base, sh, d, 3) == base + sum_k basis_k(d) *
+    sh_k`` (before the clamp) — i.e. exactly the polynomial forms of
+    GaussianSplatting.hlsl:150-175 in this module's no-flip direction
+    convention.
+    """
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    return jnp.stack(
+        [
+            -SH_C1 * y,
+            SH_C1 * z,
+            -SH_C1 * x,
+            SH_C2[0] * xy,
+            SH_C2[1] * yz,
+            SH_C2[2] * (2 * zz - xx - yy),
+            SH_C2[3] * xz,
+            SH_C2[4] * (xx - yy),
+            SH_C3[0] * y * (3 * xx - yy),
+            SH_C3[1] * xy * z,
+            SH_C3[2] * y * (4 * zz - xx - yy),
+            SH_C3[3] * z * (2 * zz - 3 * xx - 3 * yy),
+            SH_C3[4] * x * (4 * zz - xx - yy),
+            SH_C3[5] * z * (xx - yy),
+            SH_C3[6] * x * (xx - 3 * yy),
+        ],
+        axis=-1,
+    )
+
+
+# Fixed, well-conditioned sample directions used to build per-band rotation
+# matrices by projection (enough directions to invert each band's basis).
+_SAMPLE_DIRS = np.array(
+    [
+        [1.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0],
+        [0.0, 0.0, 1.0],
+        [1.0, 1.0, 0.0],
+        [1.0, 0.0, 1.0],
+        [0.0, 1.0, 1.0],
+        [1.0, 1.0, 1.0],
+        [1.0, -1.0, 0.0],
+        [0.3, -0.8, 0.5],
+        [-0.7, 0.2, 0.6],
+        [0.9, 0.3, -0.4],
+        [-0.2, -0.5, -0.8],
+        [0.5, 0.9, -0.1],
+        [-0.9, -0.3, 0.2],
+        [0.1, 0.6, 0.9],
+    ],
+    dtype=np.float64,
+)
+_SAMPLE_DIRS /= np.linalg.norm(_SAMPLE_DIRS, axis=1, keepdims=True)
+
+
+def _band_sample_matrices():
+    """Precompute pinv of the per-band basis matrix at the sample dirs."""
+    basis = np.asarray(sh_basis(jnp.asarray(_SAMPLE_DIRS, jnp.float32)), np.float64)
+    out = []
+    for sl in BAND_SLICES:
+        y = basis[:, sl]  # (S, 2l+1)
+        out.append((np.linalg.pinv(y), sl))
+    return out
+
+
+_BAND_PINV = None
+
+
+def rotate_sh(sh: jnp.ndarray, rot: jnp.ndarray) -> jnp.ndarray:
+    """Rotate SH coefficients by a 3x3 rotation matrix; (..., 15, 3).
+
+    Equivalent of the reference's RotateSH
+    (package/Shaders/SphericalHarmonics.hlsl:24-210, used by the export bake
+    SplatUtilities.compute:549-609), built by projection instead of the
+    hand-unrolled recurrences: for each band, solve for the matrix that maps
+    coefficients so that shading the rotated splat at direction d equals
+    shading the original at R^-1 d.  Exact for band-limited functions.
+    """
+    global _BAND_PINV
+    if _BAND_PINV is None:
+        _BAND_PINV = _band_sample_matrices()
+    # R^-1 d_i = R^T d_i = d_i @ R (rows are directions).
+    inv_dirs = jnp.asarray(_SAMPLE_DIRS, jnp.float32) @ jnp.asarray(rot, jnp.float32)
+    basis_rot = sh_basis(inv_dirs)  # (S, 15)
+    out = []
+    for pinv, sl in _BAND_PINV:
+        m = jnp.asarray(pinv, jnp.float32) @ basis_rot[:, sl]  # (2l+1, 2l+1)
+        out.append(jnp.einsum("mk,...kc->...mc", m, sh[..., sl, :]))
+    return jnp.concatenate(out, axis=-2)

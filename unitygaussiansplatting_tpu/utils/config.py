@@ -55,6 +55,9 @@ class RasterizeConfig:
     # Splats processed per inner-kernel chunk; also the MXU contraction dim of
     # the color accumulation matmul.
     chunk_size: int = dataclasses.field(default=128, metadata={"static": True})
+    # Static per-tile work cap for the XLA rasterizer path (it needs a static
+    # trip count; the Pallas kernel loops to the true per-tile count instead).
+    max_pairs_per_tile: int = dataclasses.field(default=8192, metadata={"static": True})
     # Stop compositing a tile once max transmittance drops below this
     # (the official 3DGS early-out; reference relies on 1/255 alpha discard).
     transmittance_eps: float = dataclasses.field(default=1e-4, metadata={"static": True})
