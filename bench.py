@@ -33,7 +33,7 @@ def main():
     width = int(os.environ.get("BENCH_W", 1200))
     height = int(os.environ.get("BENCH_H", 797))
     frames = int(os.environ.get("BENCH_FRAMES", 8))
-    backend = os.environ.get("BENCH_BACKEND", "jax")
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
 
     from unitygaussiansplatting_tpu.models.camera import Camera
     from unitygaussiansplatting_tpu.models.renderer import render
@@ -41,6 +41,8 @@ def main():
     from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene
 
     scene = sphere_scene(n=n, seed=0).activate()
+    scene = jax.device_put(scene, jax.devices()[0])
+    jax.block_until_ready(scene)
     camera = Camera.look_at(
         eye=[0.0, 0.6, -3.0],
         target=[0.0, 0.0, 0.0],
@@ -51,34 +53,19 @@ def main():
     )
     config = RasterizeConfig()
 
+    @jax.jit
     def frame(g, opacity_scale):
         settings = RenderSettings(sh_order=3, opacity_scale=opacity_scale)
         return render(g, camera, settings, config, backend=backend)
 
-    @jax.jit
-    def run(g, scales):
-        def body(acc, s):
-            img = frame(g, s)
-            return acc + jnp.mean(img), None
-
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), scales)
-        return acc
-
-    scales1 = jnp.ones((1,), jnp.float32)
-    scalesN = jnp.linspace(0.99, 1.01, frames).astype(jnp.float32)
-
-    # Warm up / compile both shapes.
-    jax.block_until_ready(run(scene, scales1))
-    jax.block_until_ready(run(scene, scalesN))
-
-    # Time N-frame and 1-frame runs; per-frame = slope, removing dispatch.
+    # Warm up / compile, then time over `frames` calls (per-call dispatch to
+    # the tunneled chip is ~30 ms, negligible at this frame cost).
+    jax.block_until_ready(frame(scene, jnp.float32(1.0)))
     t0 = time.perf_counter()
-    jax.block_until_ready(run(scene, scalesN))
-    t_n = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jax.block_until_ready(run(scene, scales1))
-    t_1 = time.perf_counter() - t0
-    ms_per_frame = (t_n - t_1) / (frames - 1) * 1000.0 if frames > 1 else t_n * 1000.0
+    for i in range(frames):
+        out = frame(scene, jnp.float32(1.0 + 0.001 * i))
+    jax.block_until_ready(out)
+    ms_per_frame = (time.perf_counter() - t0) / frames * 1000.0
 
     print(
         json.dumps(

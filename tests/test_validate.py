@@ -1,0 +1,88 @@
+"""Validator + image IO + debug render tests."""
+
+import numpy as np
+import pytest
+
+from unitygaussiansplatting_tpu.models.camera import Camera
+from unitygaussiansplatting_tpu.models.debug_render import (
+    render_debug_boxes,
+    render_debug_chunk_bounds,
+    render_debug_points,
+)
+from unitygaussiansplatting_tpu.models.renderer import render_over_background
+from unitygaussiansplatting_tpu.utils.image import load_png, psnr, save_png
+from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene
+from unitygaussiansplatting_tpu.validate import validate_image, validate_render
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return sphere_scene(n=400, seed=5).activate()
+
+
+@pytest.fixture(scope="module")
+def camera():
+    return Camera.look_at(
+        eye=[0, 0.4, -2.8], target=[0, 0, 0], up=[0, 1, 0],
+        fov_y_deg=45.0, width=128, height=96,
+    )
+
+
+class TestImageIO:
+    def test_png_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        img = rng.uniform(size=(33, 47, 3)).astype(np.float32)
+        p = str(tmp_path / "t.png")
+        save_png(p, img)
+        back = load_png(p)
+        assert back.shape == img.shape
+        assert np.abs(back - img).max() <= 1.0 / 255.0 + 1e-6
+
+
+class TestValidator:
+    def test_self_match_passes(self, scene, camera, tmp_path):
+        import jax.numpy as jnp
+
+        img = render_over_background(scene, camera, jnp.zeros(3))
+        golden = str(tmp_path / "golden.png")
+        save_png(golden, np.clip(np.asarray(img[..., :3]), 0, 1))
+        res = validate_render(scene, camera, golden, dump_folder=str(tmp_path))
+        # 8-bit golden quantization keeps psnr below the exact-match gate of
+        # 90 dB, but diff pixels must be ~0 within the 3/255 tolerance.
+        assert res.diff_pixels <= 50
+        assert res.psnr > 45
+
+    def test_mismatch_fails_and_dumps(self, scene, camera, tmp_path):
+        import os
+
+        got = np.zeros((96, 128, 3), np.float32)
+        golden = np.ones((96, 128, 3), np.float32)
+        res = validate_image(got, golden, name="bad", dump_folder=str(tmp_path))
+        assert not res.passed
+        assert os.path.exists(tmp_path / "bad_diff.png")
+        assert os.path.exists(tmp_path / "bad_ref.png")
+
+    def test_size_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            validate_image(np.zeros((4, 4, 3)), np.zeros((5, 5, 3)))
+
+
+class TestDebugRender:
+    def test_points(self, scene, camera):
+        img = np.asarray(render_debug_points(scene, camera))
+        assert img.shape == (96, 128, 3)
+        assert img.max() > 0  # something drawn
+
+    def test_points_by_index_differ(self, scene, camera):
+        a = np.asarray(render_debug_points(scene, camera, by_index=False))
+        b = np.asarray(render_debug_points(scene, camera, by_index=True))
+        assert not np.allclose(a, b)
+
+    def test_boxes(self, scene, camera):
+        img = np.asarray(render_debug_boxes(scene, camera))
+        assert img.shape == (96, 128, 3)
+        assert img.max() > 0
+
+    def test_chunk_bounds(self, scene, camera):
+        img = np.asarray(render_debug_chunk_bounds(scene, camera))
+        assert img.max() > 0

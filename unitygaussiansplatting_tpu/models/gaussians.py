@@ -71,14 +71,19 @@ class RawGaussians:
         return self.means.shape[0]
 
     def activate(self) -> Gaussians:
-        """Apply the import-time activations (GaussianFileReader.cs:210-240)."""
+        """Apply the import-time activations (GaussianFileReader.cs:210-240).
+
+        Pass-through fields go through jnp.asarray so the result is fully
+        device-resident — a host numpy leaf would otherwise be re-uploaded on
+        every jit call (pathological over a tunneled TPU).
+        """
         return Gaussians(
-            means=self.means,
+            means=jnp.asarray(self.means),
             rotations=normalize_swizzle_rotation(self.rotations_wxyz),
             scales=activations.linear_scale(self.log_scales),
             opacities=activations.sigmoid(self.opacity_logits),
             base_color=activations.sh0_to_color(self.sh0),
-            sh=self.sh,
+            sh=jnp.asarray(self.sh),
         )
 
 

@@ -79,6 +79,47 @@ def render_over_background(
     return composite_ops.composite_over(rt, background, convert_gamma=convert_gamma)
 
 
+def render_multi(
+    clouds: list[Gaussians],
+    camera: Camera,
+    settings_list: list[RenderSettings] | None = None,
+    config: RasterizeConfig = RasterizeConfig(),
+    backend: str = "jax",
+    render_order: list[float] | None = None,
+    models: list | None = None,
+) -> jnp.ndarray:
+    """Render several splat objects into one frame.
+
+    Mirrors GaussianSplatRenderSystem.GatherSplatsForCamera +
+    SortAndRenderSplats (GaussianSplatRenderer.cs:73-169): objects are sorted
+    by explicit render order then by camera-space depth of their origin, each
+    object is depth-sorted internally, and objects composite front-to-back
+    into the shared RT ("under" blending).  Splats of different objects are
+    NOT interleaved in depth — same policy as the reference.
+    """
+    n = len(clouds)
+    settings_list = settings_list or [RenderSettings()] * n
+    models = models or [None] * n
+    order_keys = []
+    for i, g in enumerate(clouds):
+        origin = jnp.zeros((3,)) if models[i] is None else jnp.asarray(models[i])[:3, 3]
+        depth = float(camera.world_to_view(origin)[2])
+        explicit = render_order[i] if render_order else 0.0
+        # Under-compositing draws front-most objects first: nearest origin
+        # first, higher explicit render order in front.
+        order_keys.append((-explicit, depth, i))
+    order_keys.sort()
+
+    h, w = camera.height, camera.width
+    accum = jnp.zeros((h, w, 4), jnp.float32)
+    for _, _, i in order_keys:
+        rt = render(clouds[i], camera, settings_list[i], config, backend, model=models[i])
+        # "under" compositing: new content goes behind what is already drawn.
+        t = 1.0 - accum[..., 3:4]
+        accum = accum + t * rt
+    return accum
+
+
 @partial(jax.jit, static_argnames=("backend",))
 def _render_jit(gaussians, camera, settings, config, backend):
     return render(gaussians, camera, settings, config, backend)

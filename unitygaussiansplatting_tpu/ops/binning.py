@@ -36,15 +36,29 @@ def cdiv(a: int, b: int) -> int:
 class TileBinning(NamedTuple):
     """Tile-sorted (splat, tile) pair lists plus per-tile ranges.
 
-    Contains only arrays so it passes cleanly through jit boundaries; the
-    tile-grid dims are recomputed from (width, height, config) via
+    Contains only 1-D arrays: on TPU an (K, small) layout pads the trailing
+    dim to the 128-lane tile (a (K, 3) int32 gather output measured 42x
+    memory expansion — OOM at bicycle scale), so pairs reference splats by
+    *depth rank* with a separate rank->splat table.
+
+    The tile-grid dims are recomputed from (width, height, config) via
     :func:`tile_grid` wherever needed.
     """
 
-    pair_splat: jnp.ndarray  # (K,) int32 splat index per pair, tile-sorted
+    pair_rank: jnp.ndarray  # (K,) int32 depth-rank of the pair's splat (n = sentinel)
     pair_tile: jnp.ndarray  # (K,) int32 tile id per pair (num_tiles = sentinel)
+    depth_order: jnp.ndarray  # (N,) int32: depth rank -> original splat index
     tile_starts: jnp.ndarray  # (T + 1,) int32: pairs of tile t are [s[t], s[t+1])
     num_pairs: jnp.ndarray  # () int32 actual pair count before budget clipping
+
+    @property
+    def pair_splat(self) -> jnp.ndarray:
+        """(K,) original splat index per pair (n = sentinel); lazy gather."""
+        n = self.depth_order.shape[0]
+        order_ext = jnp.concatenate(
+            [self.depth_order, jnp.asarray([n], jnp.int32)]
+        )
+        return order_ext[self.pair_rank]
 
 
 def pair_budget(num_splats: int, config: RasterizeConfig) -> int:
@@ -88,11 +102,16 @@ def bin_splats(
     nx = jnp.maximum(x1 - x0, 0)
     ny = jnp.maximum(y1 - y0, 0)
     counts = jnp.where(proj.valid, nx * ny, 0)
+    # Per-splat tile rect bit-packed into one word so the per-pair stage does
+    # a single gather instead of three chained ones (measured 4x faster).
+    # Layout: x0[0:11] | y0[11:22] | nx[22:32] — supports tile grids to 2048.
+    rect_packed = x0 | (y0 << 11) | (jnp.maximum(nx, 1) << 22)
 
     # Depth-sort the splats (invalid ones sink to the end).
     sort_key = jnp.where(proj.valid, proj.depth, jnp.inf)
     _, order = jax.lax.sort((sort_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
     counts_s = counts[order]
+    rect_s = rect_packed[order]
 
     offsets = jnp.cumsum(counts_s) - counts_s  # exclusive scan
     num_pairs = offsets[-1] + counts_s[-1] if n > 0 else jnp.int32(0)
@@ -103,20 +122,38 @@ def bin_splats(
     slot_rank = jnp.repeat(
         jnp.arange(n + 1, dtype=jnp.int32), counts_ext, total_repeat_length=k
     )  # (K,) index into depth-sorted splat list, == n for overflow slots
-    offsets_ext = jnp.concatenate([offsets, num_pairs[None]])
+    # One 1-D gather; everything stays 1-D (a packed (K, 3) row-gather is
+    # the same speed but its lane padding explodes memory 42x at scale).
+    rect_ext = jnp.concatenate([rect_s, jnp.asarray([1 << 22], jnp.int32)])
 
-    j = jnp.arange(k, dtype=jnp.int32) - offsets_ext[slot_rank]
+    # Rank within the run = segment iota, computed with a cummax scan over
+    # run starts instead of gathering per-splat offsets (TPU gathers cost
+    # ~8 ns/index; scans are ~30x cheaper at this size).
+    iota_k = jnp.arange(k, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), slot_rank[1:] != slot_rank[:-1]]
+    )
+    j = iota_k - jax.lax.cummax(jnp.where(is_start, iota_k, 0))
     is_real = slot_rank < n
-    safe = jnp.minimum(slot_rank, n - 1)
-    snx = jnp.maximum(nx[order][safe], 1)
-    tx = x0[order][safe] + j % snx
-    ty = y0[order][safe] + j // snx
+    rect_k = rect_ext[slot_rank]
+    snx = (rect_k >> 22) & 0x3FF
+    # j // snx via reciprocal multiply + exact correction: variable-divisor
+    # integer division has no VPU hardware path and dominates otherwise.
+    q = jnp.floor(j.astype(jnp.float32) * (1.0 / snx.astype(jnp.float32))).astype(
+        jnp.int32
+    )
+    rem = j - q * snx
+    q = jnp.where(rem < 0, q - 1, jnp.where(rem >= snx, q + 1, q))
+    rem = j - q * snx
+    tx = (rect_k & 0x7FF) + rem
+    ty = ((rect_k >> 11) & 0x7FF) + q
     tile_id = jnp.where(is_real, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
-    splat_id = jnp.where(is_real, order[safe], n).astype(jnp.int32)
 
     # Stable sort by tile id keeps pairs depth-ordered within each tile.
-    pair_tile, pair_splat = jax.lax.sort(
-        (tile_id, splat_id), num_keys=1, is_stable=True
+    # The payload is the splat's depth *rank* — consumers gather per-splat
+    # data from depth-ordered tables, saving a rank->id indirection here.
+    pair_tile, pair_rank = jax.lax.sort(
+        (tile_id, slot_rank), num_keys=1, is_stable=True
     )
 
     tile_starts = jnp.searchsorted(
@@ -124,8 +161,9 @@ def bin_splats(
     ).astype(jnp.int32)
 
     return TileBinning(
-        pair_splat=pair_splat,
+        pair_rank=pair_rank,
         pair_tile=pair_tile,
+        depth_order=order,
         tile_starts=tile_starts,
         num_pairs=num_pairs,
     )

@@ -6,28 +6,27 @@ the reference's fragment-shader blending (RenderGaussianSplats.shader:79-108
 plus the hardware OneMinusDstAlpha/One blend).  Same math, restructured for
 the TPU pipeline model:
 
-- The (splat, tile) pairs produced by binning are padded so every tile owns a
-  whole number of C-sized chunks, then laid out as one dense (G, 16, C)
-  field-major array (G = total chunks, C = chunk size = lane width).
-- The kernel runs on a **1-D grid over chunks** with
-  ``PrefetchScalarGridSpec``: a prefetched ``chunk_tile`` map drives the
-  *output* BlockSpec, so all chunks of a tile revisit the same (4, P) output
-  block, which Pallas keeps resident in VMEM across consecutive grid steps —
-  the per-tile compositing state (accumulated premultiplied RGB + coverage)
-  never round-trips to HBM mid-tile.  Pair blocks are streamed in by the
-  automatic pipeline (double-buffered HBM->VMEM DMA).
-- Per chunk: alphas for C splats x P pixels on the VPU, per-pixel
-  transmittance via a cumulative product along the chunk axis, color
-  accumulation as masked reductions.  Transmittance is recovered exactly from
-  the stored coverage (T = 1 - a), so no extra carry buffer is needed.
+- Pair view data is materialized once, field-major, in tile-sorted pair
+  order: one (16, K) gather by depth rank (the single irreducible random
+  access), reshaped to (K/C, 16, C) blocks.  Nothing pair-sized carries a
+  small trailing dim — TPU lane padding explodes (K, 3)-shaped buffers 42x.
+- The kernel runs a **1-D grid of schedule steps** built at tile granularity
+  with ``PrefetchScalarGridSpec``: each step names a pair *block*, the tile
+  whose output it feeds, and the lane window [lo, hi) of pairs belonging to
+  that tile.  Tile ranges need no chunk alignment — a block straddling two
+  tiles is simply visited twice with complementary windows (~T extra steps
+  out of ~K/C).  The prefetched tile id drives the *output* BlockSpec, so
+  consecutive steps of one tile revisit the same (4, P) block, which Pallas
+  keeps resident in VMEM — per-tile compositing state never round-trips to
+  HBM mid-tile.
+- Per step: alphas for C splats x P pixels on the VPU, per-pixel
+  transmittance via a Hillis-Steele cumulative product along the chunk axis
+  (Mosaic has no cumprod/reduce_prod lowering), color accumulation as masked
+  reductions.  Transmittance is recovered exactly from the stored coverage
+  (T = 1 - a), so no extra carry buffer is needed.
 - Early-out: when a tile's max transmittance has dropped below
-  ``transmittance_eps``, remaining chunks of that tile skip all compute
-  (``@pl.when``), mirroring the official 3DGS saturation exit.
-
-Why not a kernel-per-tile grid with manual DMA?  Ragged per-tile pair counts
-would force dynamic-length DMA loops; padding each tile to chunk multiples
-costs at most T*C pairs (<1% at scale) and turns the whole rasterizer into a
-shape-static streaming pipeline, which is exactly what the TPU wants.
+  ``transmittance_eps``, its remaining steps skip all compute (``@pl.when``),
+  mirroring the official 3DGS saturation exit.
 """
 
 from __future__ import annotations
@@ -48,74 +47,86 @@ from .projection import ProjectedSplats
 _FIELDS = 16
 
 
-def _pad_tiles_to_chunks(
-    proj: ProjectedSplats, binning: TileBinning, num_tiles: int, chunk: int
-):
-    """Re-layout tile-sorted pairs so each tile's range is chunk-aligned.
-
-    Returns (fields (G, 16, C), chunk_tile (G,), padded_starts (T+1,)) where
-    G is the static total chunk budget.  Slots not covered by a real pair
-    have opacity 0 (they contribute nothing).
-    """
-    n = proj.depth.shape[0]
-    k = binning.pair_splat.shape[0]
-    counts = binning.tile_starts[1:] - binning.tile_starts[:-1]  # (T,)
-    # Every tile gets at least one chunk so its output block is always
-    # initialized by the kernel's first-chunk zeroing.
-    padded_counts = jnp.maximum(cdiv_j(counts, chunk), 1) * chunk
-    padded_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts).astype(jnp.int32)]
-    )
-    k_pad = k + num_tiles * chunk  # static upper bound on padded total
-    g = k_pad // chunk
-
-    # Scatter each real pair to its padded position.
-    pair_pos = jnp.arange(k, dtype=jnp.int32)
-    tile = jnp.minimum(binning.pair_tile, num_tiles - 1)
-    real = binning.pair_tile < num_tiles
-    new_pos = padded_starts[tile] + (pair_pos - binning.tile_starts[tile])
-    new_pos = jnp.where(real, new_pos, k_pad - 1)  # park sentinels in last slot
-
-    ids = binning.pair_splat
-    safe = jnp.minimum(ids, n - 1)
-    gath = lambda a: a[safe]
-    field_vals = jnp.stack(
-        [
-            gath(proj.center[:, 0]),
-            gath(proj.center[:, 1]),
-            gath(proj.axis1[:, 0]),
-            gath(proj.axis1[:, 1]),
-            gath(proj.axis2[:, 0]),
-            gath(proj.axis2[:, 1]),
-            gath(proj.color[:, 0]),
-            gath(proj.color[:, 1]),
-            gath(proj.color[:, 2]),
-            jnp.where(real, gath(proj.opacity), 0.0),
-        ],
-        axis=-1,
-    )  # (K, 10)
-
-    dense = jnp.zeros((k_pad, _FIELDS), jnp.float32)
-    dense = dense.at[new_pos, :10].set(field_vals, mode="drop")
-    # Clear the sentinel parking slot unless a real pair legitimately landed
-    # there (it cannot: real padded positions are < padded_total <= k_pad - 1
-    # only when budgets are tight; opacity 0 there is the safe default).
-    fields = dense.reshape(g, chunk, _FIELDS).transpose(0, 2, 1)  # (G, 16, C)
-
-    # chunk_tile: which tile each chunk belongs to; trailing chunks -> dummy
-    # tile index `num_tiles` (extra output block, dropped afterwards).
-    chunks_per_tile = padded_counts // chunk
-    counts_ext = jnp.concatenate(
-        [chunks_per_tile, jnp.asarray([g], jnp.int32)]
-    )
-    chunk_tile = jnp.repeat(
-        jnp.arange(num_tiles + 1, dtype=jnp.int32), counts_ext, total_repeat_length=g
-    )
-    return fields, chunk_tile, padded_starts
-
-
 def cdiv_j(a, b):
     return -(-a // b)
+
+
+def prepare_pairs(proj: ProjectedSplats, binning: TileBinning, chunk: int):
+    """Materialize tile-sorted pair view data as (K/C, 16, C) blocks.
+
+    One K-sized *row* gather (by depth rank, from a row-major depth-ordered
+    splat table): rows are contiguous 64 B, ~4.5x faster than a column
+    gather from a (16, N) table.  The (piece, 16)-shaped gather output
+    lane-pads 8x, so the gather runs piecewise under ``lax.map`` to bound
+    the transient (a single (K, 16) buffer is ~12 GB at bicycle scale).
+    Sentinel pairs (rank == n) hit an appended zero row, so they contribute
+    nothing without a separate mask.
+    """
+    n = proj.depth.shape[0]
+    k = binning.pair_rank.shape[0]
+    g = k // chunk
+
+    packed = jnp.concatenate(
+        [
+            proj.center,
+            proj.axis1,
+            proj.axis2,
+            proj.color,
+            proj.opacity[:, None],
+            jnp.zeros((n, _FIELDS - 10), jnp.float32),
+        ],
+        axis=1,
+    )  # (N, 16), row-major
+    packed = jnp.take(packed, binning.depth_order, axis=0)
+    packed = jnp.concatenate([packed, jnp.zeros((1, _FIELDS))], axis=0)
+
+    # Pieces sized ~2M pairs keep the padded transient near ~1 GB.
+    pieces = max(1, cdiv(k, 2_097_152))
+    while k % (pieces * chunk) != 0:
+        pieces += 1
+    kp = k // pieces
+
+    def piece(rk_i):
+        return jnp.take(packed, rk_i, axis=0).T  # (16, K/R)
+
+    parts = jax.lax.map(piece, binning.pair_rank.reshape(pieces, kp))
+    # (R, 16, K/R) -> (G, 16, C) with G split as (R, G/R).
+    fields = parts.reshape(pieces, _FIELDS, kp // chunk, chunk)
+    return fields.transpose(0, 2, 1, 3).reshape(g, _FIELDS, chunk)
+
+
+def build_schedule(binning: TileBinning, num_tiles: int, chunk: int):
+    """Per-step tile assignment covering every tile's pair range.
+
+    Static length ``K/C + T``: each tile contributes ceil-coverage of its
+    range plus at most one boundary overlap; empty tiles contribute one
+    masked step that just initializes their output block.
+
+    Only the (S,) ``step_tile`` array is per-step — SMEM is ~1 MB, so the
+    block index and lane window are *derived* inside the kernel / index map
+    from two (T+1,)-sized tables (``tile_starts`` and the exclusive scan of
+    steps-per-tile): ``block = starts[t]//C + (i - first_step[t])``.
+    """
+    k = binning.pair_rank.shape[0]
+    g = k // chunk
+    num_steps = g + num_tiles
+
+    starts = binning.tile_starts[:-1]  # (T,)
+    ends = binning.tile_starts[1:]
+    counts = ends - starts
+    first_block = starts // chunk
+    last_block = jnp.where(counts > 0, (ends - 1) // chunk, first_block)
+    steps_per_tile = jnp.where(counts > 0, last_block - first_block + 1, 1)
+
+    first_step = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(steps_per_tile).astype(jnp.int32)]
+    )  # (T + 1,) exclusive scan; [T] = total real steps
+    spt_ext = jnp.concatenate([steps_per_tile, jnp.asarray([num_steps], jnp.int32)])
+    step_tile = jnp.repeat(
+        jnp.arange(num_tiles + 1, dtype=jnp.int32), spt_ext,
+        total_repeat_length=num_steps,
+    )
+    return step_tile, binning.tile_starts, first_step
 
 
 def _cumprod_axis0(x: jnp.ndarray) -> jnp.ndarray:
@@ -127,8 +138,6 @@ def _cumprod_axis0(x: jnp.ndarray) -> jnp.ndarray:
     c = x.shape[0]
     shift = 1
     while shift < c:
-        # lax.slice_in_dim (static slice) — jnp's basic indexing lowers via
-        # dynamic_slice, which has no Mosaic rule.
         head = jax.lax.slice_in_dim(x, 0, c - shift, axis=0)
         ones = jnp.ones((shift,) + x.shape[1:], x.dtype)
         x = x * jnp.concatenate([ones, head], axis=0)
@@ -137,16 +146,20 @@ def _cumprod_axis0(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel(
-    chunk_tile_ref,  # (G,) int32, scalar-prefetch
-    fields_ref,  # (1, 16, C) VMEM block for this chunk
-    out_ref,  # (1, 4, P) VMEM block for this chunk's tile
+    step_tile_ref,  # (S,) int32, scalar-prefetch
+    tile_starts_ref,  # (T + 1,) int32, scalar-prefetch
+    first_step_ref,  # (T + 1,) int32, scalar-prefetch
+    fields_ref,  # (1, 16, C) VMEM block for this step
+    out_ref,  # (1, 4, P) VMEM block for this step's tile
     *,
     config: RasterizeConfig,
     tiles_x: int,
+    num_tiles: int,
 ):
+    chunk = fields_ref.shape[2]
     i = pl.program_id(0)
-    t = chunk_tile_ref[i]
-    prev_t = chunk_tile_ref[jnp.maximum(i - 1, 0)]
+    t = step_tile_ref[i]
+    prev_t = step_tile_ref[jnp.maximum(i - 1, 0)]
     is_first = jnp.logical_or(i == 0, t != prev_t)
 
     @pl.when(is_first)
@@ -158,17 +171,27 @@ def _kernel(
 
     coverage = out_ref[0, 3, :]  # (P,) accumulated alpha = 1 - transmittance
     transmittance = 1.0 - coverage
+    # Lane window of this step: pairs of tile t inside block
+    # ``starts[t]//C + (i - first_step[t])`` (same formula as the in-spec
+    # index map).
+    t_safe = jnp.minimum(t, num_tiles - 1)
+    t_start = tile_starts_ref[t_safe]
+    t_end = tile_starts_ref[t_safe + 1]
+    block = t_start // chunk + (i - first_step_ref[t_safe])
+    lo = jnp.clip(t_start - block * chunk, 0, chunk)
+    hi = jnp.clip(t_end - block * chunk, 0, chunk)
+    live = (t < num_tiles) & (hi > lo)
 
-    @pl.when(jnp.max(transmittance) >= config.transmittance_eps)
+    @pl.when((jnp.max(transmittance) >= config.transmittance_eps) & live)
     def _():
         # Pixel-center coordinates of this tile, flattened row-major (th, tw).
         tx = (t % tiles_x).astype(jnp.float32)
         ty = (t // tiles_x).astype(jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)  # iota must be int
-        px = tx * tw + (lane % tw).astype(jnp.float32) + 0.5  # (1, P)
-        py = ty * th + (lane // tw).astype(jnp.float32) + 0.5
+        lane_px = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+        px = tx * tw + (lane_px % tw).astype(jnp.float32) + 0.5  # (1, P)
+        py = ty * th + (lane_px // tw).astype(jnp.float32) + 0.5
 
-        col = lambda r: fields_ref[0, r, :][:, None]  # (C, 1) via native ref read
+        col = lambda r: fields_ref[0, r, :][:, None]  # (C, 1)
         cx, cy = col(0), col(1)
         a1x, a1y, a2x, a2y = col(2), col(3), col(4), col(5)
         cr, cg, cb, op = col(6), col(7), col(8), col(9)
@@ -185,22 +208,70 @@ def _kernel(
         keep = alpha >= config.alpha_discard
         if config.quad_clip:
             keep &= (jnp.abs(qx) <= 2.0) & (jnp.abs(qy) <= 2.0)
+        # Window mask: only lanes [lo, hi) of this block belong to tile t.
+        c = alpha.shape[0]
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+        keep &= (lane_c >= lo) & (lane_c < hi)
         alpha = jnp.where(keep, alpha, 0.0)
 
-        c = alpha.shape[0]
         one_minus = 1.0 - alpha
         cum = _cumprod_axis0(one_minus)  # (C, P) inclusive prefix product
         head = jax.lax.slice_in_dim(cum, 0, c - 1, axis=0)
         excl = jnp.concatenate([jnp.ones((1, p), cum.dtype), head], axis=0)
         w = excl * alpha * transmittance[None, :]  # (C, P)
-        # Chunk transmittance factor = last cumprod row (reduce_prod has no
-        # Mosaic rule); lax.slice + reshape avoid jnp's dynamic_slice path.
         total = jnp.reshape(jax.lax.slice_in_dim(cum, c - 1, c, axis=0), (p,))
 
         out_ref[0, 0, :] += jnp.sum(w * cr, axis=0)
         out_ref[0, 1, :] += jnp.sum(w * cg, axis=0)
         out_ref[0, 2, :] += jnp.sum(w * cb, axis=0)
         out_ref[0, 3, :] = 1.0 - transmittance * total
+
+
+def composite_pallas(
+    fields: jnp.ndarray,
+    schedule,
+    width: int,
+    height: int,
+    config: RasterizeConfig = RasterizeConfig(),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the Pallas composite over prepared pair blocks + schedule."""
+    th, tw = config.tile_h, config.tile_w
+    tiles_x, tiles_y = tile_grid(width, height, config)
+    num_tiles = tiles_x * tiles_y
+    p = th * tw
+    step_tile, tile_starts, first_step = schedule
+    s = step_tile.shape[0]
+    chunk = fields.shape[2]
+    g = fields.shape[0]
+
+    def in_block(i, st, ts, fs):
+        t = jnp.minimum(st[i], num_tiles - 1)
+        block = ts[t] // chunk + (i - fs[t])
+        return (jnp.clip(block, 0, g - 1), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(s,),
+        in_specs=[
+            pl.BlockSpec((1, _FIELDS, chunk), in_block),
+        ],
+        out_specs=pl.BlockSpec((1, 4, p), lambda i, st, ts, fs: (st[i], 0, 0)),
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, config=config, tiles_x=tiles_x, num_tiles=num_tiles
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 4, p), jnp.float32),
+        interpret=interpret,
+    )(step_tile, tile_starts, first_step, fields)
+
+    # Untile: (T, 4, P) -> (H, W, 4).
+    img = out[:num_tiles].reshape(tiles_y, tiles_x, 4, th, tw)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(tiles_y * th, tiles_x * tw, 4)
+    return img[:height, :width]
 
 
 def rasterize_tiles_pallas(
@@ -212,32 +283,8 @@ def rasterize_tiles_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Composite tile-binned splats with the Pallas kernel; (H, W, 4) RGBA."""
-    th, tw = config.tile_h, config.tile_w
-    chunk = config.chunk_size
     tiles_x, tiles_y = tile_grid(width, height, config)
     num_tiles = tiles_x * tiles_y
-    p = th * tw
-
-    fields, chunk_tile, _ = _pad_tiles_to_chunks(proj, binning, num_tiles, chunk)
-    g = fields.shape[0]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec((1, _FIELDS, chunk), lambda i, ct: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 4, p), lambda i, ct: (ct[i], 0, 0)),
-    )
-
-    out = pl.pallas_call(
-        functools.partial(_kernel, config=config, tiles_x=tiles_x),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 4, p), jnp.float32),
-        interpret=interpret,
-    )(chunk_tile, fields)
-
-    # Untile: (T, 4, P) -> (H, W, 4).
-    img = out[:num_tiles].reshape(tiles_y, tiles_x, 4, th, tw)
-    img = img.transpose(0, 3, 1, 4, 2).reshape(tiles_y * th, tiles_x * tw, 4)
-    return img[:height, :width]
+    fields = prepare_pairs(proj, binning, config.chunk_size)
+    schedule = build_schedule(binning, num_tiles, config.chunk_size)
+    return composite_pallas(fields, schedule, width, height, config, interpret)
