@@ -34,8 +34,14 @@ def read_input_file(path: str) -> InputSplats:
 
 
 def reorder_morton(splats: InputSplats) -> InputSplats:
-    """Sort splats along the 3D Morton curve (AssetCreator.cs:384-429)."""
-    order = morton_order_np(splats.pos)
+    """Sort splats along the 3D Morton curve (AssetCreator.cs:384-429).
+
+    Uses the native C++ kernels (radix argsort) when available, mirroring
+    the reference's Burst-compiled reorder job; NumPy otherwise.
+    """
+    from ..native import morton_order
+
+    order = morton_order(splats.pos)
     return InputSplats(
         pos=splats.pos[order],
         rot=splats.rot[order],

@@ -52,10 +52,10 @@ def render(
             proj, binning, camera.width, camera.height, config
         )
     if backend == "pallas":
-        from ..ops.rasterize_pallas import rasterize_tiles_pallas
+        from ..ops.rasterize_pallas import rasterize_tiles_pallas_diff
 
         binning = bin_splats(proj, camera.width, camera.height, config)
-        return rasterize_tiles_pallas(
+        return rasterize_tiles_pallas_diff(
             proj, binning, camera.width, camera.height, config
         )
     raise ValueError(f"unknown backend {backend!r}")

@@ -288,3 +288,52 @@ def rasterize_tiles_pallas(
     fields = prepare_pairs(proj, binning, config.chunk_size)
     schedule = build_schedule(binning, num_tiles, config.chunk_size)
     return composite_pallas(fields, schedule, width, height, config, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward, XLA-autodiff backward.
+#
+# The rasterizer's VJP (reverse per-tile scan recovering per-splat weights)
+# is planned as a dedicated Pallas kernel; until then the backward reuses
+# reverse-mode AD through the XLA tile rasterizer, which computes the exact
+# same function (rasterize_tiles_jax matches composite_pallas to fp noise).
+# Gradients flow to the projected splat data; binning indices are
+# non-differentiable, as in every 3DGS implementation (SURVEY.md §7 hard
+# part #3).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def rasterize_tiles_pallas_diff(
+    proj: ProjectedSplats,
+    binning: TileBinning,
+    width: int,
+    height: int,
+    config: RasterizeConfig = RasterizeConfig(),
+) -> jnp.ndarray:
+    """Differentiable (w.r.t. proj) Pallas rasterization."""
+    return rasterize_tiles_pallas(proj, binning, width, height, config)
+
+
+def _diff_fwd(proj, binning, width, height, config):
+    out = rasterize_tiles_pallas(proj, binning, width, height, config)
+    return out, (proj, binning)
+
+
+def _diff_bwd(width, height, config, res, g):
+    from .rasterize_tiles import rasterize_tiles_jax
+
+    proj, binning = res
+    _, vjp = jax.vjp(
+        lambda p: rasterize_tiles_jax(p, binning, width, height, config), proj
+    )
+    (d_proj,) = vjp(g)
+    # Binning arrays are integer-valued: their tangent space is float0.
+    import numpy as _np
+
+    d_binning = jax.tree_util.tree_map(
+        lambda x: _np.zeros(x.shape, jax.dtypes.float0), binning
+    )
+    return d_proj, d_binning
+
+
+rasterize_tiles_pallas_diff.defvjp(_diff_fwd, _diff_bwd)
