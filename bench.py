@@ -51,7 +51,9 @@ def main():
         width=width,
         height=height,
     )
-    config = RasterizeConfig()
+    # 6x pair budget: the synthetic scene averages ~5.5 tiles per splat at
+    # this resolution; 4x would clip the deepest pairs.
+    config = RasterizeConfig(pair_multiplier=float(os.environ.get("BENCH_PAIR_MULT", 6.0)))
 
     @jax.jit
     def frame(g, opacity_scale):

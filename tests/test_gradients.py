@@ -143,16 +143,11 @@ def test_pallas_backward_matches_jax(small_scene, camera):
         return jnp.sum(img * w)
 
     # interpret-mode pallas on CPU
-    import unittest.mock as mock
-
-    orig = rpal.rasterize_tiles_pallas
-
-    def interp(*a, **k):
-        k["interpret"] = True
-        return orig(*a, **k)
-
-    with mock.patch.object(rpal, "rasterize_tiles_pallas", interp):
+    rpal.INTERPRET = True
+    try:
         g_pal = jax.grad(loss_pallas)(small_scene)
+    finally:
+        rpal.INTERPRET = False
 
     for field in ("means", "log_scales", "opacity_logits", "sh0"):
         np.testing.assert_allclose(
@@ -162,3 +157,45 @@ def test_pallas_backward_matches_jax(small_scene, camera):
             atol=2e-5,
             err_msg=field,
         )
+
+
+def test_pallas_bwd_kernel_matches_xla(small_scene, camera):
+    # The hand-written Pallas backward kernel (interpret mode) must match
+    # XLA autodiff of the tile path on every projected-splat gradient.
+    import unitygaussiansplatting_tpu.ops.rasterize_pallas as rpal
+    from unitygaussiansplatting_tpu.ops.binning import bin_splats
+    from unitygaussiansplatting_tpu.ops.projection import project_splats
+    from unitygaussiansplatting_tpu.ops.rasterize_tiles import rasterize_tiles_jax
+
+    cfg = RasterizeConfig()
+    g = small_scene.activate()
+    proj = project_splats(g, camera, RenderSettings(sh_order=1))
+    binning = bin_splats(proj, camera.width, camera.height, cfg)
+    rng = np.random.default_rng(11)
+    gimg = jnp.asarray(
+        rng.normal(size=(camera.height, camera.width, 4)).astype(np.float32)
+    )
+
+    _, vjp_x = jax.vjp(
+        lambda p: rasterize_tiles_jax(p, binning, camera.width, camera.height, cfg),
+        proj,
+    )
+    (gx,) = vjp_x(gimg)
+
+    rpal.INTERPRET = True
+    try:
+        _, vjp_p = jax.vjp(
+            lambda p: rpal.rasterize_tiles_pallas_diff(
+                p, binning, camera.width, camera.height, cfg
+            ),
+            proj,
+        )
+        (gp,) = vjp_p(gimg)
+    finally:
+        rpal.INTERPRET = False
+
+    for field in ("center", "axis1", "axis2", "color", "opacity"):
+        a = np.asarray(getattr(gx, field))
+        b = np.asarray(getattr(gp, field))
+        scale = max(np.abs(a).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 1e-4, field

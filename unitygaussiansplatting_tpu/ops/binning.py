@@ -48,6 +48,7 @@ class TileBinning(NamedTuple):
     pair_rank: jnp.ndarray  # (K,) int32 depth-rank of the pair's splat (n = sentinel)
     pair_tile: jnp.ndarray  # (K,) int32 tile id per pair (num_tiles = sentinel)
     depth_order: jnp.ndarray  # (N,) int32: depth rank -> original splat index
+    rank_counts: jnp.ndarray  # (N,) int32: pairs generated per depth rank
     tile_starts: jnp.ndarray  # (T + 1,) int32: pairs of tile t are [s[t], s[t+1])
     num_pairs: jnp.ndarray  # () int32 actual pair count before budget clipping
 
@@ -164,6 +165,7 @@ def bin_splats(
         pair_rank=pair_rank,
         pair_tile=pair_tile,
         depth_order=order,
+        rank_counts=counts_s,
         tile_starts=tile_starts,
         num_pairs=num_pairs,
     )

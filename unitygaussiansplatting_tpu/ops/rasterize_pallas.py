@@ -46,6 +46,10 @@ from .projection import ProjectedSplats
 # opacity (+ padding to 16 for sublane alignment).
 _FIELDS = 16
 
+# Test hook: force interpreter mode for all Pallas rasterizer kernels
+# (pallas TC kernels have no native CPU path).
+INTERPRET = False
+
 
 def cdiv_j(a, b):
     return -(-a // b)
@@ -234,8 +238,12 @@ def composite_pallas(
     height: int,
     config: RasterizeConfig = RasterizeConfig(),
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Run the Pallas composite over prepared pair blocks + schedule."""
+    return_raw: bool = False,
+):
+    """Run the Pallas composite over prepared pair blocks + schedule.
+
+    ``return_raw`` additionally returns the (T+1, 4, P) tile-layout buffer
+    (the backward pass consumes it as the saved forward output)."""
     th, tw = config.tile_h, config.tile_w
     tiles_x, tiles_y = tile_grid(width, height, config)
     num_tiles = tiles_x * tiles_y
@@ -265,13 +273,28 @@ def composite_pallas(
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 4, p), jnp.float32),
-        interpret=interpret,
+        interpret=interpret or INTERPRET,
     )(step_tile, tile_starts, first_step, fields)
 
     # Untile: (T, 4, P) -> (H, W, 4).
     img = out[:num_tiles].reshape(tiles_y, tiles_x, 4, th, tw)
     img = img.transpose(0, 3, 1, 4, 2).reshape(tiles_y * th, tiles_x * tw, 4)
-    return img[:height, :width]
+    img = img[:height, :width]
+    if return_raw:
+        return img, out
+    return img
+
+
+def tile_layout(img: jnp.ndarray, width: int, height: int, config: RasterizeConfig):
+    """Inverse of the untile: (H, W, 4) -> (T + 1, 4, P) tile-major buffer."""
+    th, tw = config.tile_h, config.tile_w
+    tiles_x, tiles_y = tile_grid(width, height, config)
+    pad_y = tiles_y * th - height
+    pad_x = tiles_x * tw - width
+    padded = jnp.pad(img, ((0, pad_y), (0, pad_x), (0, 0)))
+    t = padded.reshape(tiles_y, th, tiles_x, tw, 4).transpose(0, 2, 4, 1, 3)
+    t = t.reshape(tiles_x * tiles_y, 4, th * tw)
+    return jnp.concatenate([t, jnp.zeros((1, 4, th * tw), img.dtype)], axis=0)
 
 
 def rasterize_tiles_pallas(
@@ -291,12 +314,11 @@ def rasterize_tiles_pallas(
 
 
 # ---------------------------------------------------------------------------
-# Differentiable wrapper: Pallas forward, XLA-autodiff backward.
+# Differentiable wrapper: Pallas forward, Pallas backward.
 #
-# The rasterizer's VJP (reverse per-tile scan recovering per-splat weights)
-# is planned as a dedicated Pallas kernel; until then the backward reuses
-# reverse-mode AD through the XLA tile rasterizer, which computes the exact
-# same function (rasterize_tiles_jax matches composite_pallas to fp noise).
+# The backward is the hand-written VJP kernel in rasterize_pallas_bwd.py
+# (second forward walk computing the 3DGS compositing gradients), with an
+# XLA-autodiff fallback (config.pallas_backward=False) kept for testing.
 # Gradients flow to the projected splat data; binning indices are
 # non-differentiable, as in every 3DGS implementation (SURVEY.md §7 hard
 # part #3).
@@ -315,21 +337,56 @@ def rasterize_tiles_pallas_diff(
 
 
 def _diff_fwd(proj, binning, width, height, config):
-    out = rasterize_tiles_pallas(proj, binning, width, height, config)
-    return out, (proj, binning)
+    tiles_x, tiles_y = tile_grid(width, height, config)
+    fields = prepare_pairs(proj, binning, config.chunk_size)
+    schedule = build_schedule(binning, tiles_x * tiles_y, config.chunk_size)
+    out, raw = composite_pallas(
+        fields, schedule, width, height, config, return_raw=True
+    )
+    return out, (proj, binning, fields, raw)
 
 
 def _diff_bwd(width, height, config, res, g):
-    from .rasterize_tiles import rasterize_tiles_jax
-
-    proj, binning = res
-    _, vjp = jax.vjp(
-        lambda p: rasterize_tiles_jax(p, binning, width, height, config), proj
-    )
-    (d_proj,) = vjp(g)
-    # Binning arrays are integer-valued: their tangent space is float0.
     import numpy as _np
 
+    proj, binning, fields, raw = res
+    n = proj.depth.shape[0]
+
+    if getattr(config, "pallas_backward", True):
+        from .rasterize_pallas_bwd import (
+            composite_pallas_bwd,
+            pair_gradients_to_splats,
+            steps_to_pair_gradients,
+        )
+
+        tiles_x, tiles_y = tile_grid(width, height, config)
+        num_tiles = tiles_x * tiles_y
+        schedule = build_schedule(binning, num_tiles, config.chunk_size)
+        dout_raw = tile_layout(g, width, height, config)
+        dsteps = composite_pallas_bwd(
+            fields, schedule, raw, dout_raw, width, height, config
+        )
+        dpairs = steps_to_pair_gradients(dsteps, binning, num_tiles, config.chunk_size)
+        dsplat = pair_gradients_to_splats(dpairs, binning, binning.rank_counts, n)
+        d_proj = ProjectedSplats(
+            depth=jnp.zeros_like(proj.depth),
+            center=dsplat[:, 0:2],
+            axis1=dsplat[:, 2:4],
+            axis2=dsplat[:, 4:6],
+            conic=jnp.zeros_like(proj.conic),
+            color=dsplat[:, 6:9],
+            opacity=dsplat[:, 9],
+            valid=_np.zeros(proj.valid.shape, jax.dtypes.float0),
+        )
+    else:
+        from .rasterize_tiles import rasterize_tiles_jax
+
+        _, vjp = jax.vjp(
+            lambda p: rasterize_tiles_jax(p, binning, width, height, config), proj
+        )
+        (d_proj,) = vjp(g)
+
+    # Binning arrays are integer-valued: their tangent space is float0.
     d_binning = jax.tree_util.tree_map(
         lambda x: _np.zeros(x.shape, jax.dtypes.float0), binning
     )

@@ -1,0 +1,345 @@
+"""Pallas TPU kernel: backward pass of tile-binned compositing.
+
+The hand-written VJP of composite_pallas (rasterize_pallas.py) — the
+capability the reference lacks entirely (no backward anywhere, SURVEY.md §0)
+and the piece XLA autodiff cannot deliver at scale (its transpose of the
+per-tile scan materializes lane-padded pair buffers and OOMs at bicycle
+size).
+
+Math (standard 3DGS compositing gradients, e.g. Kerbl et al. supplemental):
+with per-pair alpha a_i, color c_i, entry transmittance T_i and upstream
+gradients D = dL/dC (premultiplied rgb) and dA = dL/dA (coverage):
+
+    dL/dc_i = w_i * D,                    w_i = T_i * a_i
+    dL/da_i = D . (T_i c_i - S_i/(1-a_i)) + dA * T_N/(1-a_i)
+
+where S_i is the suffix contribution after i and T_N the final
+transmittance.  S_i is computed *forward* as C_total - prefix_i using the
+saved forward output, so the kernel is a second forward walk with the same
+schedule, chunk math and VMEM-resident per-tile state as the forward kernel
+(state here: running prefix rgb + running transmittance).
+
+Outputs are per-*step* gradient blocks for the 10 view-data fields; the
+XLA-side glue (pair_gradients_to_splats) folds boundary-step duplicates
+(disjoint lane windows, so a plain add), un-permutes the tile sort, and
+segment-reduces pair gradients to per-splat gradients with cumsum
+differences over the contiguous depth-expansion runs — no scatters anywhere
+(a segment_sum scatter-add measured 286 ms *per column* at 24M pairs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.config import RasterizeConfig
+from .binning import TileBinning, tile_grid
+from .projection import ProjectedSplats
+from .rasterize_pallas import _FIELDS, _cumprod_axis0, build_schedule, prepare_pairs
+
+
+def _cumsum_axis0(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along axis 0 (jnp.cumsum has no Mosaic rule)."""
+    c = x.shape[0]
+    shift = 1
+    while shift < c:
+        head = jax.lax.slice_in_dim(x, 0, c - shift, axis=0)
+        zeros = jnp.zeros((shift,) + x.shape[1:], x.dtype)
+        x = x + jnp.concatenate([zeros, head], axis=0)
+        shift *= 2
+    return x
+
+
+def _bwd_kernel(
+    step_tile_ref,  # (S,) int32, scalar-prefetch
+    tile_starts_ref,  # (T + 1,) int32
+    first_step_ref,  # (T + 1,) int32
+    fields_ref,  # (1, 16, C) pair view data for this step's block
+    fwd_ref,  # (1, 4, P) forward output of this tile (premult rgb + coverage)
+    dout_ref,  # (1, 4, P) upstream gradient for this tile
+    dfields_ref,  # (1, 16, C) OUT: per-step field gradients
+    state_ref,  # (1, 4, P) OUT (revisited): prefix rgb + running transmittance
+    *,
+    config: RasterizeConfig,
+    tiles_x: int,
+    num_tiles: int,
+):
+    chunk = fields_ref.shape[2]
+    i = pl.program_id(0)
+    t = step_tile_ref[i]
+    prev_t = step_tile_ref[jnp.maximum(i - 1, 0)]
+    is_first = jnp.logical_or(i == 0, t != prev_t)
+
+    th, tw = config.tile_h, config.tile_w
+    p = th * tw
+
+    @pl.when(is_first)
+    def _():
+        # rgb prefix = 0, transmittance = 1 (array .at[].set would lower to
+        # an unsupported in-kernel scatter).
+        state_ref[...] = jnp.concatenate(
+            [jnp.zeros((1, 3, p), jnp.float32), jnp.ones((1, 1, p), jnp.float32)],
+            axis=1,
+        )
+
+    dfields_ref[...] = jnp.zeros_like(dfields_ref)
+
+    t_safe = jnp.minimum(t, num_tiles - 1)
+    t_start = tile_starts_ref[t_safe]
+    t_end = tile_starts_ref[t_safe + 1]
+    block = t_start // chunk + (i - first_step_ref[t_safe])
+    lo = jnp.clip(t_start - block * chunk, 0, chunk)
+    hi = jnp.clip(t_end - block * chunk, 0, chunk)
+    transmittance = state_ref[0, 3, :]
+    live = (t < num_tiles) & (hi > lo)
+
+    @pl.when(live & (jnp.max(transmittance) >= config.transmittance_eps))
+    def _():
+        tx = (t % tiles_x).astype(jnp.float32)
+        ty = (t // tiles_x).astype(jnp.float32)
+        lane_px = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+        px = tx * tw + (lane_px % tw).astype(jnp.float32) + 0.5
+        py = ty * th + (lane_px // tw).astype(jnp.float32) + 0.5
+
+        col = lambda r: fields_ref[0, r, :][:, None]  # (C, 1)
+        cx, cy = col(0), col(1)
+        a1x, a1y, a2x, a2y = col(2), col(3), col(4), col(5)
+        cr, cg, cb, op = col(6), col(7), col(8), col(9)
+
+        dx = px - cx
+        dy = py - cy
+        v1 = jnp.maximum(a1x * a1x + a1y * a1y, 1e-12)
+        v2 = jnp.maximum(a2x * a2x + a2y * a2y, 1e-12)
+        qx = (dx * a1x + dy * a1y) / v1
+        qy = (dx * a2x + dy * a2y) / v2
+        power = -(qx * qx + qy * qy)
+        expp = jnp.exp(power)
+        alpha_raw = expp * op
+        clipped = alpha_raw > config.alpha_max
+        alpha = jnp.minimum(alpha_raw, config.alpha_max)
+        keep = alpha >= config.alpha_discard
+        if config.quad_clip:
+            keep &= (jnp.abs(qx) <= 2.0) & (jnp.abs(qy) <= 2.0)
+        c = alpha.shape[0]
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+        keep &= (lane_c >= lo) & (lane_c < hi)
+        alpha = jnp.where(keep, alpha, 0.0)
+
+        one_minus = 1.0 - alpha
+        cum = _cumprod_axis0(one_minus)
+        head = jax.lax.slice_in_dim(cum, 0, c - 1, axis=0)
+        excl = jnp.concatenate([jnp.ones((1, p), cum.dtype), head], axis=0)
+        t_i = transmittance[None, :] * excl  # (C, P) entry transmittance
+        w = t_i * alpha
+
+        # Forward totals and upstream grads for this tile.
+        c_tot_r = fwd_ref[0, 0, :]
+        c_tot_g = fwd_ref[0, 1, :]
+        c_tot_b = fwd_ref[0, 2, :]
+        t_final = 1.0 - fwd_ref[0, 3, :]  # (P,)
+        d_r = dout_ref[0, 0, :]
+        d_g = dout_ref[0, 1, :]
+        d_b = dout_ref[0, 2, :]
+        d_a = dout_ref[0, 3, :]
+
+        # Prefix contributions including i, per channel (C, P).
+        pref_r = state_ref[0, 0, :][None, :] + _cumsum_axis0(w * cr)
+        pref_g = state_ref[0, 1, :][None, :] + _cumsum_axis0(w * cg)
+        pref_b = state_ref[0, 2, :][None, :] + _cumsum_axis0(w * cb)
+        s_r = c_tot_r[None, :] - pref_r  # suffix after i
+        s_g = c_tot_g[None, :] - pref_g
+        s_b = c_tot_b[None, :] - pref_b
+
+        inv_om = 1.0 / jnp.maximum(one_minus, 1e-6)
+        # dL/dalpha_i per pixel (C, P).
+        dalpha = (
+            d_r[None, :] * (t_i * cr - s_r * inv_om)
+            + d_g[None, :] * (t_i * cg - s_g * inv_om)
+            + d_b[None, :] * (t_i * cb - s_b * inv_om)
+            + d_a[None, :] * t_final[None, :] * inv_om
+        )
+        dalpha = jnp.where(keep & (~clipped), dalpha, 0.0)
+
+        # Color gradients: dL/dc_i = sum_px w_i * D.
+        dfields_ref[0, 6, :] = jnp.sum(w * d_r[None, :], axis=1)
+        dfields_ref[0, 7, :] = jnp.sum(w * d_g[None, :], axis=1)
+        dfields_ref[0, 8, :] = jnp.sum(w * d_b[None, :], axis=1)
+        # Opacity: dalpha/dop = exp(power).
+        dfields_ref[0, 9, :] = jnp.sum(dalpha * expp, axis=1)
+
+        # Geometry chain: alpha -> (qx, qy) -> (center, axes).
+        gx = dalpha * (-2.0 * qx) * alpha  # dL/dqx
+        gy = dalpha * (-2.0 * qy) * alpha
+        dfields_ref[0, 0, :] = jnp.sum(
+            gx * (-a1x / v1) + gy * (-a2x / v2), axis=1
+        )  # d cx
+        dfields_ref[0, 1, :] = jnp.sum(
+            gx * (-a1y / v1) + gy * (-a2y / v2), axis=1
+        )  # d cy
+        dfields_ref[0, 2, :] = jnp.sum(gx * (dx - 2.0 * qx * a1x) / v1, axis=1)
+        dfields_ref[0, 3, :] = jnp.sum(gx * (dy - 2.0 * qx * a1y) / v1, axis=1)
+        dfields_ref[0, 4, :] = jnp.sum(gy * (dx - 2.0 * qy * a2x) / v2, axis=1)
+        dfields_ref[0, 5, :] = jnp.sum(gy * (dy - 2.0 * qy * a2y) / v2, axis=1)
+
+        # Advance state: prefix rgb and transmittance after this chunk.
+        last = lambda a: jnp.reshape(jax.lax.slice_in_dim(a, c - 1, c, axis=0), (p,))
+        state_ref[0, 0, :] = last(pref_r)
+        state_ref[0, 1, :] = last(pref_g)
+        state_ref[0, 2, :] = last(pref_b)
+        state_ref[0, 3, :] = transmittance * last(cum)
+
+
+def composite_pallas_bwd(
+    fields: jnp.ndarray,  # (G, 16, C)
+    schedule,
+    fwd_raw: jnp.ndarray,  # (T + 1, 4, P) forward kernel output
+    dout_raw: jnp.ndarray,  # (T + 1, 4, P) upstream grads, tile layout
+    width: int,
+    height: int,
+    config: RasterizeConfig = RasterizeConfig(),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the backward kernel; returns per-step field grads (S, 16, C)."""
+    tiles_x, tiles_y = tile_grid(width, height, config)
+    num_tiles = tiles_x * tiles_y
+    th, tw = config.tile_h, config.tile_w
+    p = th * tw
+    step_tile, tile_starts, first_step = schedule
+    s = step_tile.shape[0]
+    chunk = fields.shape[2]
+    g = fields.shape[0]
+
+    def in_block(i, st, ts, fs):
+        t = jnp.minimum(st[i], num_tiles - 1)
+        block = ts[t] // chunk + (i - fs[t])
+        return (jnp.clip(block, 0, g - 1), 0, 0)
+
+    tile_block = lambda i, st, ts, fs: (st[i], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(s,),
+        in_specs=[
+            pl.BlockSpec((1, _FIELDS, chunk), in_block),
+            pl.BlockSpec((1, 4, p), tile_block),
+            pl.BlockSpec((1, 4, p), tile_block),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _FIELDS, chunk), lambda i, st, ts, fs: (i, 0, 0)),
+            pl.BlockSpec((1, 4, p), tile_block),
+        ),
+    )
+
+    dfields_steps, _state = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, config=config, tiles_x=tiles_x, num_tiles=num_tiles
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((s, _FIELDS, chunk), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles + 1, 4, p), jnp.float32),
+        ),
+        interpret=interpret or __import__("unitygaussiansplatting_tpu.ops.rasterize_pallas", fromlist=["INTERPRET"]).INTERPRET,
+    )(step_tile, tile_starts, first_step, fields, fwd_raw, dout_raw)
+    return dfields_steps
+
+
+def steps_to_pair_gradients(
+    dfields_steps: jnp.ndarray,  # (S, 16, C)
+    binning: TileBinning,
+    num_tiles: int,
+    chunk: int,
+) -> jnp.ndarray:
+    """Fold per-step grads to per-pair-block grads (G, 16, C).
+
+    Steps visit blocks in non-decreasing order; a block shared by two tiles
+    is visited by two *adjacent* steps with disjoint lane windows, so the
+    fold is one add of the following step where it targets the same block.
+    """
+    k = binning.pair_rank.shape[0]
+    g = k // chunk
+    s = dfields_steps.shape[0]
+
+    starts = binning.tile_starts[:-1]
+    ends = binning.tile_starts[1:]
+    counts = ends - starts
+    first_block = starts // chunk
+    last_block = jnp.where(counts > 0, (ends - 1) // chunk, first_block)
+    steps_per_tile = jnp.where(counts > 0, last_block - first_block + 1, 1)
+    first_step = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(steps_per_tile).astype(jnp.int32)]
+    )
+
+    # block id of each real step (tile-granularity construction).
+    spt_ext = jnp.concatenate([steps_per_tile, jnp.asarray([s], jnp.int32)])
+    step_tile = jnp.repeat(
+        jnp.arange(num_tiles + 1, dtype=jnp.int32), spt_ext, total_repeat_length=s
+    )
+    iota_s = jnp.arange(s, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), step_tile[1:] != step_tile[:-1]])
+    step_rank = iota_s - jax.lax.cummax(jnp.where(is_start, iota_s, 0))
+    t_safe = jnp.minimum(step_tile, num_tiles - 1)
+    block_of_step = jnp.where(
+        step_tile < num_tiles, first_block[t_safe] + step_rank, g
+    )
+
+    # A block may be shared by any number of tiny tiles, so fold the (sorted
+    # by block) step sequence with a cumulative-sum difference: grads of
+    # block b = csum[last_step(b) + 1] - csum[first_step(b)].
+    csum = jnp.cumsum(dfields_steps, axis=0)
+    csum = jnp.concatenate([jnp.zeros((1,) + csum.shape[1:], csum.dtype), csum], axis=0)
+    blocks = jnp.arange(g, dtype=jnp.int32)
+    first = jnp.searchsorted(block_of_step, blocks, side="left").astype(jnp.int32)
+    last = jnp.searchsorted(block_of_step, blocks, side="right").astype(jnp.int32)
+    dpairs = jnp.take(csum, last, axis=0) - jnp.take(csum, first, axis=0)
+    return dpairs  # (G, 16, C)
+
+
+def pair_gradients_to_splats(
+    dpairs: jnp.ndarray,  # (G, 16, C) in tile-sorted pair order
+    binning: TileBinning,
+    counts_by_rank: jnp.ndarray,  # (N,) pairs per depth rank
+    num_splats: int,
+) -> jnp.ndarray:
+    """Reduce per-pair grads to per-splat grads (N, 16), original splat order.
+
+    Un-permutes the tile sort (one extra sort to invert the permutation),
+    then reduces the contiguous depth-expansion runs with cumsum differences
+    — no scatters.
+    """
+    g, f, chunk = dpairs.shape
+    k = g * chunk
+    flat = dpairs.transpose(1, 0, 2).reshape(f, k)  # (16, K) pair-major
+
+    # Invert the tile-sort permutation: sorting (pair_rank, arange) groups
+    # pair columns by depth rank; stable sort keeps expansion order within a
+    # rank, recovering the contiguous run structure.
+    _, inv = jax.lax.sort(
+        (binning.pair_rank, jnp.arange(k, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    by_rank = jnp.take(flat, inv, axis=1)  # (16, K) grouped by rank
+
+    csum = jnp.cumsum(by_rank, axis=1)
+    csum = jnp.concatenate([jnp.zeros((f, 1), csum.dtype), csum], axis=1)
+    # Budget truncation can cut the tail ranks' pairs short: clip run bounds
+    # to K so truncated ranks sum their surviving pairs and later ranks get
+    # empty (zero) runs.
+    offsets = jnp.minimum(
+        jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_by_rank).astype(jnp.int32)]
+        ),
+        k,
+    )  # (N + 1,)
+    sums = (
+        jnp.take(csum, offsets[1:], axis=1) - jnp.take(csum, offsets[:-1], axis=1)
+    )  # (16, N) by depth rank
+
+    # Depth order -> original splat order (inverse permute via one N-sort).
+    _, inv_order = jax.lax.sort(
+        (binning.depth_order, jnp.arange(num_splats, dtype=jnp.int32)), num_keys=1
+    )
+    return jnp.take(sums, inv_order, axis=1).T  # (N, 16)

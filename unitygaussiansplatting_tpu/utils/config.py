@@ -70,3 +70,7 @@ class RasterizeConfig:
     # (together with alpha_discard=0) makes the forward pass smooth, which
     # gradient finite-difference tests need.
     quad_clip: bool = dataclasses.field(default=True, metadata={"static": True})
+    # Use the hand-written Pallas backward kernel for the pallas backend's
+    # VJP (False falls back to XLA autodiff of the tile path — test-scale
+    # only: its transposed scan lane-pads pair buffers and OOMs at scale).
+    pallas_backward: bool = dataclasses.field(default=True, metadata={"static": True})
