@@ -130,7 +130,17 @@ def build_schedule(binning: TileBinning, num_tiles: int, chunk: int):
         jnp.arange(num_tiles + 1, dtype=jnp.int32), spt_ext,
         total_repeat_length=num_steps,
     )
-    return step_tile, binning.tile_starts, first_step
+    # SMEM for prefetched operands is ~1 MB; pack two 16-bit tile ids per
+    # word so the per-step array fits at bicycle-scale budgets.
+    if num_tiles + 1 > 0xFFFF:
+        raise ValueError(f"tile count {num_tiles} exceeds the 16-bit schedule packing")
+    if num_steps % 2:
+        # The pad step is either a dummy tile or a masked-out extra block of
+        # the last real tile (its lane window clips empty) — safe either way.
+        step_tile = jnp.concatenate([step_tile, step_tile[-1:]])
+    st = step_tile.astype(jnp.uint32)
+    packed = (st[0::2] | (st[1::2] << 16)).astype(jnp.int32)
+    return packed, binning.tile_starts, first_step
 
 
 def _cumprod_axis0(x: jnp.ndarray) -> jnp.ndarray:
@@ -149,8 +159,14 @@ def _cumprod_axis0(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _unpack_tile(packed_ref, i):
+    """Read the 16-bit tile id of step i from the 2-per-word packed array."""
+    word = packed_ref[i >> 1]
+    return (word >> ((i & 1) * 16)) & 0xFFFF
+
+
 def _kernel(
-    step_tile_ref,  # (S,) int32, scalar-prefetch
+    step_tile_ref,  # (ceil(S/2),) int32, scalar-prefetch (2x16-bit tile ids)
     tile_starts_ref,  # (T + 1,) int32, scalar-prefetch
     first_step_ref,  # (T + 1,) int32, scalar-prefetch
     fields_ref,  # (1, 16, C) VMEM block for this step
@@ -162,8 +178,8 @@ def _kernel(
 ):
     chunk = fields_ref.shape[2]
     i = pl.program_id(0)
-    t = step_tile_ref[i]
-    prev_t = step_tile_ref[jnp.maximum(i - 1, 0)]
+    t = _unpack_tile(step_tile_ref, i)
+    prev_t = _unpack_tile(step_tile_ref, jnp.maximum(i - 1, 0))
     is_first = jnp.logical_or(i == 0, t != prev_t)
 
     @pl.when(is_first)
@@ -249,12 +265,12 @@ def composite_pallas(
     num_tiles = tiles_x * tiles_y
     p = th * tw
     step_tile, tile_starts, first_step = schedule
-    s = step_tile.shape[0]
+    s = 2 * step_tile.shape[0]
     chunk = fields.shape[2]
     g = fields.shape[0]
 
     def in_block(i, st, ts, fs):
-        t = jnp.minimum(st[i], num_tiles - 1)
+        t = jnp.minimum(_unpack_tile(st, i), num_tiles - 1)
         block = ts[t] // chunk + (i - fs[t])
         return (jnp.clip(block, 0, g - 1), 0, 0)
 
@@ -264,7 +280,9 @@ def composite_pallas(
         in_specs=[
             pl.BlockSpec((1, _FIELDS, chunk), in_block),
         ],
-        out_specs=pl.BlockSpec((1, 4, p), lambda i, st, ts, fs: (st[i], 0, 0)),
+        out_specs=pl.BlockSpec(
+            (1, 4, p), lambda i, st, ts, fs: (_unpack_tile(st, i), 0, 0)
+        ),
     )
 
     out = pl.pallas_call(

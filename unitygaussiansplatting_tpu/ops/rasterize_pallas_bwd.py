@@ -39,7 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils.config import RasterizeConfig
 from .binning import TileBinning, tile_grid
 from .projection import ProjectedSplats
-from .rasterize_pallas import _FIELDS, _cumprod_axis0, build_schedule, prepare_pairs
+from .rasterize_pallas import (
+    _FIELDS,
+    _cumprod_axis0,
+    _unpack_tile,
+    build_schedule,
+    prepare_pairs,
+)
 
 
 def _cumsum_axis0(x: jnp.ndarray) -> jnp.ndarray:
@@ -70,8 +76,8 @@ def _bwd_kernel(
 ):
     chunk = fields_ref.shape[2]
     i = pl.program_id(0)
-    t = step_tile_ref[i]
-    prev_t = step_tile_ref[jnp.maximum(i - 1, 0)]
+    t = _unpack_tile(step_tile_ref, i)
+    prev_t = _unpack_tile(step_tile_ref, jnp.maximum(i - 1, 0))
     is_first = jnp.logical_or(i == 0, t != prev_t)
 
     th, tw = config.tile_h, config.tile_w
@@ -209,16 +215,16 @@ def composite_pallas_bwd(
     th, tw = config.tile_h, config.tile_w
     p = th * tw
     step_tile, tile_starts, first_step = schedule
-    s = step_tile.shape[0]
+    s = 2 * step_tile.shape[0]
     chunk = fields.shape[2]
     g = fields.shape[0]
 
     def in_block(i, st, ts, fs):
-        t = jnp.minimum(st[i], num_tiles - 1)
+        t = jnp.minimum(_unpack_tile(st, i), num_tiles - 1)
         block = ts[t] // chunk + (i - fs[t])
         return (jnp.clip(block, 0, g - 1), 0, 0)
 
-    tile_block = lambda i, st, ts, fs: (st[i], 0, 0)
+    tile_block = lambda i, st, ts, fs: (_unpack_tile(st, i), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
