@@ -55,24 +55,43 @@ def main():
     # this resolution; 4x would clip the deepest pairs.
     config = RasterizeConfig(pair_multiplier=float(os.environ.get("BENCH_PAIR_MULT", 6.0)))
 
+    mode = os.environ.get("BENCH_MODE", "fwd_bwd")
+
     @jax.jit
     def frame(g, opacity_scale):
         settings = RenderSettings(sh_order=3, opacity_scale=opacity_scale)
         return render(g, camera, settings, config, backend=backend)
 
+    @jax.jit
+    def frame_bwd(g, opacity_scale):
+        def loss(gg):
+            settings = RenderSettings(sh_order=3, opacity_scale=opacity_scale)
+            img = render(gg, camera, settings, config, backend=backend)
+            return jnp.mean(img)
+
+        return jax.grad(loss)(g)
+
+    fn = frame_bwd if mode == "fwd_bwd" else frame
+
     # Warm up / compile, then time over `frames` calls (per-call dispatch to
     # the tunneled chip is ~30 ms, negligible at this frame cost).
-    jax.block_until_ready(frame(scene, jnp.float32(1.0)))
+    jax.block_until_ready(fn(scene, jnp.float32(1.0)))
     t0 = time.perf_counter()
     for i in range(frames):
-        out = frame(scene, jnp.float32(1.0 + 0.001 * i))
+        out = fn(scene, jnp.float32(1.0 + 0.001 * i))
     jax.block_until_ready(out)
     ms_per_frame = (time.perf_counter() - t0) / frames * 1000.0
 
+    label = "fwd+bwd" if mode == "fwd_bwd" else "fwd"
+    # vs_baseline compares against the reference's published *forward-only*
+    # 6.8 ms (it has no backward at all, BASELINE.md).
     print(
         json.dumps(
             {
-                "metric": f"fwd ms/frame, synthetic bicycle-class {n} splats @{width}x{height} SH3",
+                "metric": (
+                    f"{label} ms/frame, synthetic bicycle-class {n} splats "
+                    f"@{width}x{height} SH3 (pallas backend, v5e chip)"
+                ),
                 "value": round(ms_per_frame, 3),
                 "unit": "ms",
                 "vs_baseline": round(REFERENCE_MS / ms_per_frame, 4),

@@ -95,6 +95,38 @@ def make_train_step(
     return step
 
 
+def make_multicam_train_step(
+    optimizer: optax.GradientTransformation,
+    settings: RenderSettings = RenderSettings(),
+    config: RasterizeConfig = RasterizeConfig(),
+    backend: str = "jax",
+    ssim_weight: float = 0.2,
+    background: jnp.ndarray | None = None,
+):
+    """Train step taking the camera as an argument (multi-view training).
+
+    Cameras with the same (width, height, fov) share one compiled step —
+    the view matrix is traced data (Camera is a pytree with static
+    intrinsics), so iterating over training views costs no recompiles.
+    Returns step(raw, opt_state, camera, target).
+    """
+    bg = jnp.zeros((3,)) if background is None else jnp.asarray(background)
+
+    def loss_fn(raw: RawGaussians, camera: Camera, target):
+        rt = render(raw.activate(), camera, settings, config, backend)
+        img = rt[..., :3] + (1.0 - rt[..., 3:4]) * bg
+        return photometric_loss(img, target, ssim_weight)
+
+    @jax.jit
+    def step(raw, opt_state, camera, target):
+        loss, grads = jax.value_and_grad(loss_fn)(raw, camera, target)
+        updates, opt_state = optimizer.update(grads, opt_state, raw)
+        raw = optax.apply_updates(raw, updates)
+        return loss, raw, opt_state
+
+    return step
+
+
 def default_optimizer(lr_means: float = 1.6e-4, lr_rest: float = 2.5e-3):
     """Per-parameter-group Adam like the official 3DGS schedule shape:
     positions learn slowly relative to appearance parameters."""
