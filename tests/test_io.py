@@ -197,3 +197,44 @@ class TestCreator:
         d0 = np.linalg.norm(np.diff(splats.pos, axis=0), axis=1).mean()
         d1 = np.linalg.norm(np.diff(ordered.pos, axis=0), axis=1).mean()
         assert d1 < d0 * 0.5
+
+
+class TestCameras:
+    def test_cameras_json_import_and_camera_build(self, tmp_path):
+        import json
+
+        # 3DGS-style cameras.json one directory above the input file.
+        rot = np.eye(3).tolist()
+        cams = [
+            {
+                "id": 0, "img_name": "0001", "width": 980, "height": 545,
+                "position": [1.0, 2.0, 3.0], "rotation": rot,
+                "fx": 1000.0, "fy": 1000.0,
+            }
+        ]
+        (tmp_path / "cameras.json").write_text(json.dumps(cams))
+        sub = tmp_path / "pc"
+        sub.mkdir()
+        ply_path = sub / "scene.ply"
+        write_ply(str(ply_path), make_splats(100))
+
+        from unitygaussiansplatting_tpu.io.creator import create_asset
+
+        asset = create_asset(str(ply_path), quality="medium")
+        assert asset.cameras and len(asset.cameras) == 1
+        info = asset.cameras[0]
+        np.testing.assert_allclose(info["pos"], [1.0, 2.0, 3.0])
+
+        from unitygaussiansplatting_tpu.models.camera import Camera
+
+        cam = Camera.from_camera_info(info, width=980, height=545, fov_y_deg=47.0)
+        # Camera position must round-trip through the view matrix.
+        np.testing.assert_allclose(np.asarray(cam.position), [1.0, 2.0, 3.0], atol=1e-5)
+
+    def test_no_cameras_json(self, tmp_path):
+        ply_path = tmp_path / "scene.ply"
+        write_ply(str(ply_path), make_splats(50))
+        from unitygaussiansplatting_tpu.io.creator import create_asset
+
+        asset = create_asset(str(ply_path), quality="very_high")
+        assert asset.cameras is None

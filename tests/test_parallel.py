@@ -85,3 +85,47 @@ def test_sharded_grads_match_single_device(camera):
     np.testing.assert_allclose(
         np.asarray(g_sharded.sh0), np.asarray(g_single.sh0), atol=2e-6
     )
+
+
+def test_strip_sharded_render_matches_single_device(camera):
+    from unitygaussiansplatting_tpu.parallel.strips import render_strips_fn
+
+    raw = sphere_scene(n=1024, seed=3)
+    g = raw.activate()
+    single = render(g, camera, SETTINGS, CONFIG)
+
+    mesh = make_mesh(jax.devices()[:8])
+    g_sharded = shard_gaussians(g, mesh)
+    strip = render_strips_fn(mesh, camera, settings=SETTINGS, config=CONFIG)(g_sharded)
+    np.testing.assert_allclose(np.asarray(strip), np.asarray(single), atol=1e-5)
+
+
+def test_strip_sharded_grads_match(camera):
+    from unitygaussiansplatting_tpu.parallel.strips import render_strips_fn
+
+    raw = sphere_scene(n=512, seed=4)
+    target = jnp.full((camera.height, camera.width, 4), 0.2, jnp.float32)
+
+    def loss_single(r):
+        img = render(r.activate(), camera, SETTINGS, CONFIG)
+        return jnp.mean(jnp.square(img - target))
+
+    g_single = jax.grad(loss_single)(raw)
+
+    mesh = make_mesh(jax.devices()[:8])
+    strip_fn = render_strips_fn(mesh, camera, settings=SETTINGS, config=CONFIG)
+
+    def loss_strips(r):
+        img = strip_fn(r.activate())
+        return jnp.mean(jnp.square(img - target))
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    raw_sharded = shard_gaussians(raw, mesh)
+    g_strips = jax.grad(loss_strips)(raw_sharded)
+    np.testing.assert_allclose(
+        np.asarray(g_strips.means), np.asarray(g_single.means), atol=3e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_strips.sh0), np.asarray(g_single.sh0), atol=3e-6
+    )

@@ -84,6 +84,11 @@ def bin_splats(
     the reference's NaN-discard of behind-camera splats plus Unity's clip-space
     quad culling).  If the pair budget overflows, the *deepest* splats lose
     their pairs first — pairs are generated in depth order and truncated at K.
+
+    To render a *viewport* (sub-rectangle) of a frame — e.g. a device's tile
+    strip in multi-chip rendering — shift ``proj.center`` by the viewport
+    origin and bin/rasterize at the viewport size; the whole pipeline is
+    translation-covariant (see parallel/strips.py).
     """
     n = proj.depth.shape[0]
     tiles_x, tiles_y = tile_grid(width, height, config)

@@ -2,6 +2,7 @@
 
 from .mesh import make_mesh, splat_sharding, tile_sharding
 from .render_sharded import render_sharded, train_step_sharded
+from .strips import render_strips, render_strips_fn
 
 __all__ = [
     "make_mesh",
@@ -9,4 +10,6 @@ __all__ = [
     "tile_sharding",
     "render_sharded",
     "train_step_sharded",
+    "render_strips",
+    "render_strips_fn",
 ]
