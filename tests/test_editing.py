@@ -183,3 +183,40 @@ class TestExport:
     def test_merge(self, scene):
         merged = merge_gaussians([scene, scene])
         assert merged.num_splats == 2 * scene.num_splats
+
+
+class TestRoundTrip:
+    def test_edit_export_reimport_render(self, scene, camera, tmp_path):
+        """The reference's implicit end-to-end fixture (SURVEY §4.5): edits ->
+        PLY export -> re-import through the full asset pipeline -> render,
+        compared against rendering the edited cloud directly."""
+        import dataclasses
+
+        from unitygaussiansplatting_tpu.editing import (
+            EditState, delete_selected, select_rect,
+        )
+        from unitygaussiansplatting_tpu.io.asset import decode_asset
+        from unitygaussiansplatting_tpu.io.bridge import (
+            gaussians_to_input_splats, input_splats_to_gaussians,
+        )
+        from unitygaussiansplatting_tpu.io.creator import create_asset
+        from unitygaussiansplatting_tpu.io.ply import write_ply
+        from unitygaussiansplatting_tpu.utils.image import psnr
+
+        # Edit: select the left half and delete it.
+        st = EditState.empty(scene.num_splats)
+        st = select_rect(st, scene, camera, (0, 0), (80, 120))
+        st = delete_selected(st)
+        edited = export_gaussians(scene, deleted=st.deleted)
+        assert edited.num_splats < scene.num_splats
+
+        # Export -> reimport through the quantized asset pipeline (High
+        # preset keeps quantization error below the image tolerance).
+        ply_path = str(tmp_path / "edited.ply")
+        write_ply(ply_path, gaussians_to_input_splats(edited))
+        asset = create_asset(ply_path, quality="high")
+        reimported = input_splats_to_gaussians(decode_asset(asset))
+
+        img_direct = np.asarray(render(edited, camera))
+        img_reimported = np.asarray(render(reimported, camera))
+        assert psnr(img_direct[..., :3], img_reimported[..., :3]) > 40

@@ -84,19 +84,23 @@ def prepare_pairs(proj: ProjectedSplats, binning: TileBinning, chunk: int):
     packed = jnp.take(packed, binning.depth_order, axis=0)
     packed = jnp.concatenate([packed, jnp.zeros((1, _FIELDS))], axis=0)
 
-    # Pieces sized ~2M pairs keep the padded transient near ~1 GB.
-    pieces = max(1, cdiv(k, 2_097_152))
-    while k % (pieces * chunk) != 0:
-        pieces += 1
-    kp = k // pieces
+    # Pieces sized ~2M pairs keep the padded transient near ~1 GB.  Pad the
+    # rank array up to pieces * blocks_per_piece instead of searching for a
+    # divisor — when K/chunk lacks small factors a divisor search degrades to
+    # tens of thousands of sequential map iterations.
+    pieces = max(1, min(g, cdiv(k, 2_097_152)))
+    bp = cdiv(g, pieces)  # blocks per piece
+    pad = bp * pieces * chunk - k
+    ranks = jnp.concatenate(
+        [binning.pair_rank, jnp.full((pad,), n, jnp.int32)]
+    )  # sentinel rank -> zero row
 
     def piece(rk_i):
-        return jnp.take(packed, rk_i, axis=0).T  # (16, K/R)
+        return jnp.take(packed, rk_i, axis=0).T  # (16, bp * C)
 
-    parts = jax.lax.map(piece, binning.pair_rank.reshape(pieces, kp))
-    # (R, 16, K/R) -> (G, 16, C) with G split as (R, G/R).
-    fields = parts.reshape(pieces, _FIELDS, kp // chunk, chunk)
-    return fields.transpose(0, 2, 1, 3).reshape(g, _FIELDS, chunk)
+    parts = jax.lax.map(piece, ranks.reshape(pieces, bp * chunk))
+    fields = parts.reshape(pieces, _FIELDS, bp, chunk)
+    return fields.transpose(0, 2, 1, 3).reshape(pieces * bp, _FIELDS, chunk)[:g]
 
 
 def build_schedule(binning: TileBinning, num_tiles: int, chunk: int):
