@@ -51,10 +51,6 @@ _FIELDS = 16
 INTERPRET = False
 
 
-def cdiv_j(a, b):
-    return -(-a // b)
-
-
 def prepare_pairs(proj: ProjectedSplats, binning: TileBinning, chunk: int):
     """Materialize tile-sorted pair view data as (K/C, 16, C) blocks.
 

@@ -38,14 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.config import RasterizeConfig
 from .binning import TileBinning, tile_grid
-from .projection import ProjectedSplats
-from .rasterize_pallas import (
-    _FIELDS,
-    _cumprod_axis0,
-    _unpack_tile,
-    build_schedule,
-    prepare_pairs,
-)
+from .rasterize_pallas import _FIELDS, _cumprod_axis0, _unpack_tile
 
 
 def _cumsum_axis0(x: jnp.ndarray) -> jnp.ndarray:
