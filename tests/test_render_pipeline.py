@@ -163,3 +163,32 @@ class TestMultiObject:
         ab = render_multi([a, b], camera, render_order=[1.0, 0.0])
         ba = render_multi([a, b], camera, render_order=[0.0, 1.0])
         assert not np.allclose(np.asarray(ab), np.asarray(ba))
+
+
+class TestEdgeCases:
+    def test_zero_opacity_scale_renders_empty(self, scene, camera):
+        img = render(scene, camera, settings=RenderSettings(opacity_scale=0.0))
+        np.testing.assert_array_equal(np.asarray(img), 0.0)
+
+    def test_fp16_color_flag_close_but_not_exact(self, scene, camera):
+        full = render(scene, camera, settings=RenderSettings(fp16_color=False))
+        half = render(scene, camera, settings=RenderSettings(fp16_color=True))
+        d = np.abs(np.asarray(full) - np.asarray(half))
+        assert d.max() < 5e-3  # fp16 rounding of colors stays subtle
+        assert d.max() > 0.0  # but is actually exercised
+
+    def test_behind_camera_only(self, camera):
+        import dataclasses
+
+        g = sphere_scene(n=128, seed=20).activate()
+        g = dataclasses.replace(g, means=g.means + jnp.asarray([0.0, 0.0, -10.0]))
+        img = render(g, camera)
+        np.testing.assert_array_equal(np.asarray(img), 0.0)
+
+    def test_single_splat(self, camera):
+        g = sphere_scene(n=1, seed=21).activate()
+        import dataclasses
+
+        g = dataclasses.replace(g, means=jnp.zeros((1, 3)))
+        img = render(g, camera)
+        assert np.isfinite(np.asarray(img)).all()
