@@ -15,7 +15,7 @@ from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene
 
 @pytest.fixture(scope="module")
 def scene():
-    return sphere_scene(n=2000, seed=0).activate()
+    return sphere_scene(n=1200, seed=0).activate()
 
 
 @pytest.fixture(scope="module")
