@@ -1,4 +1,4 @@
-"""Benchmark: forward render throughput on the headline-class scene.
+"""Benchmark: forward(+backward) render throughput on the headline-class scene.
 
 Headline metric mirrors the reference's (BASELINE.md): bicycle-class scene,
 6.1M splats at 1200x797 — the reference does 6.8 ms/frame on an RTX 3080 Ti
@@ -7,11 +7,22 @@ bench renders a synthetic scene with the same splat count, resolution and SH
 order.  ``vs_baseline`` is reference_ms / our_ms (>1 means faster than the
 reference GPU).
 
-Dispatch to the tunneled TPU costs ~30-200 ms per call, so frames are
-iterated *inside* one compiled computation (lax.scan over per-frame opacity
-scales, which prevents CSE between iterations).
+The single JSON line also carries:
+- ``phases``: per-stage forward breakdown (project / bin / prepare_pairs /
+  schedule / kernel) — the analog of the reference's ProfilerMarker phase
+  numbers (readme.md:84), via utils/profiling.render_phases;
+- ``pairs``: true (splat, tile) pair demand vs static budget + overflow flag
+  (the frame-truncation failure signal);
+- ``extra_metrics``: companion measurements — forward-only ms on the headline
+  scene and fwd+bwd on a realistic-capture-statistics scene
+  (utils/synthetic.outdoor_scene), whose tile-overlap/depth-complexity
+  distributions differ strongly from the sphere shell.
 
-Env knobs: BENCH_N (splats), BENCH_W/BENCH_H, BENCH_FRAMES, BENCH_BACKEND.
+Dispatch to the tunneled TPU costs ~30-200 ms per call; at current frame
+costs that is negligible, so frames are timed as repeated jit calls.
+
+Env knobs: BENCH_N (splats), BENCH_W/BENCH_H, BENCH_FRAMES, BENCH_BACKEND,
+BENCH_MODE (fwd|fwd_bwd), BENCH_SKIP_EXTRAS=1 for the quick headline only.
 Prints exactly one JSON line.
 """
 
@@ -28,17 +39,30 @@ import jax.numpy as jnp
 REFERENCE_MS = 6.8  # readme.md:84, RTX 3080 Ti
 
 
+def time_frames(fn, scene, frames):
+    jax.block_until_ready(fn(scene, jnp.float32(1.0)))
+    t0 = time.perf_counter()
+    out = None
+    for i in range(frames):
+        out = fn(scene, jnp.float32(1.0 + 0.001 * i))
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / frames * 1000.0
+
+
 def main():
     n = int(os.environ.get("BENCH_N", 6_100_000))
     width = int(os.environ.get("BENCH_W", 1200))
     height = int(os.environ.get("BENCH_H", 797))
     frames = int(os.environ.get("BENCH_FRAMES", 8))
     backend = os.environ.get("BENCH_BACKEND", "pallas")
+    mode = os.environ.get("BENCH_MODE", "fwd_bwd")
+    skip_extras = os.environ.get("BENCH_SKIP_EXTRAS", "0") == "1"
 
     from unitygaussiansplatting_tpu.models.camera import Camera
     from unitygaussiansplatting_tpu.models.renderer import render
     from unitygaussiansplatting_tpu.utils.config import RasterizeConfig, RenderSettings
-    from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene
+    from unitygaussiansplatting_tpu.utils.profiling import render_phases
+    from unitygaussiansplatting_tpu.utils.synthetic import outdoor_scene, sphere_scene
 
     scene = sphere_scene(n=n, seed=0).activate()
     scene = jax.device_put(scene, jax.devices()[0])
@@ -52,52 +76,105 @@ def main():
         height=height,
     )
     # 6x pair budget: the synthetic scene averages ~5.5 tiles per splat at
-    # this resolution; 4x would clip the deepest pairs.
+    # this resolution (fat shell splats); real-capture statistics need ~2x.
     config = RasterizeConfig(pair_multiplier=float(os.environ.get("BENCH_PAIR_MULT", 6.0)))
 
-    mode = os.environ.get("BENCH_MODE", "fwd_bwd")
-
-    @jax.jit
-    def frame(g, opacity_scale):
-        settings = RenderSettings(sh_order=3, opacity_scale=opacity_scale)
-        return render(g, camera, settings, config, backend=backend)
-
-    @jax.jit
-    def frame_bwd(g, opacity_scale):
-        def loss(gg):
+    def make_fns(cam, cfg):
+        @jax.jit
+        def frame(g, opacity_scale):
             settings = RenderSettings(sh_order=3, opacity_scale=opacity_scale)
-            img = render(gg, camera, settings, config, backend=backend)
-            return jnp.mean(img)
+            return render(g, cam, settings, cfg, backend=backend)
 
-        return jax.grad(loss)(g)
+        @jax.jit
+        def frame_bwd(g, opacity_scale):
+            def loss(gg):
+                settings = RenderSettings(sh_order=3, opacity_scale=opacity_scale)
+                img = render(gg, cam, settings, cfg, backend=backend)
+                return jnp.mean(img)
 
+            return jax.grad(loss)(g)
+
+        return frame, frame_bwd
+
+    frame, frame_bwd = make_fns(camera, config)
     fn = frame_bwd if mode == "fwd_bwd" else frame
+    ms_per_frame = time_frames(fn, scene, frames)
 
-    # Warm up / compile, then time over `frames` calls (per-call dispatch to
-    # the tunneled chip is ~30 ms, negligible at this frame cost).
-    jax.block_until_ready(fn(scene, jnp.float32(1.0)))
-    t0 = time.perf_counter()
-    for i in range(frames):
-        out = fn(scene, jnp.float32(1.0 + 0.001 * i))
-    jax.block_until_ready(out)
-    ms_per_frame = (time.perf_counter() - t0) / frames * 1000.0
+    result = {
+        "metric": (
+            f"{'fwd+bwd' if mode == 'fwd_bwd' else 'fwd'} ms/frame, synthetic "
+            f"bicycle-class {n} splats @{width}x{height} SH3 "
+            f"({backend} backend, v5e chip)"
+        ),
+        "value": round(ms_per_frame, 3),
+        "unit": "ms",
+        # vs the reference's published *forward-only* 6.8 ms (it has no
+        # backward at all, BASELINE.md).
+        "vs_baseline": round(REFERENCE_MS / ms_per_frame, 4),
+    }
 
-    label = "fwd+bwd" if mode == "fwd_bwd" else "fwd"
-    # vs_baseline compares against the reference's published *forward-only*
-    # 6.8 ms (it has no backward at all, BASELINE.md).
-    print(
-        json.dumps(
+    if not skip_extras:
+        extras = []
+        if mode == "fwd_bwd":
+            fwd_ms = time_frames(frame, scene, frames)
+            extras.append(
+                {
+                    "metric": f"fwd ms/frame, same headline scene",
+                    "value": round(fwd_ms, 3),
+                    "unit": "ms",
+                    "vs_baseline": round(REFERENCE_MS / fwd_ms, 4),
+                }
+            )
+
+        # Realistic-capture-statistics scene (VERDICT r1 item 7): same splat
+        # count and resolution, trained-outdoor-scene-like distributions.
+        real = outdoor_scene(n=n, seed=1).activate()
+        real = jax.device_put(real, jax.devices()[0])
+        jax.block_until_ready(real)
+        real_cam = Camera.look_at(
+            eye=[0.0, 0.4, -5.0],
+            target=[0.0, -0.2, 0.0],
+            up=[0.0, 1.0, 0.0],
+            fov_y_deg=47.0,
+            width=width,
+            height=height,
+        )
+        real_cfg = RasterizeConfig(
+            pair_multiplier=float(os.environ.get("BENCH_REAL_PAIR_MULT", 3.0))
+        )
+        rf, rfb = make_fns(real_cam, real_cfg)
+        real_fn = rfb if mode == "fwd_bwd" else rf
+        real_ms = time_frames(real_fn, real, max(2, frames // 2))
+        extras.append(
             {
                 "metric": (
-                    f"{label} ms/frame, synthetic bicycle-class {n} splats "
-                    f"@{width}x{height} SH3 (pallas backend, v5e chip)"
+                    f"{'fwd+bwd' if mode == 'fwd_bwd' else 'fwd'} ms/frame, "
+                    f"outdoor-statistics scene {n} splats @{width}x{height} SH3"
                 ),
-                "value": round(ms_per_frame, 3),
+                "value": round(real_ms, 3),
                 "unit": "ms",
-                "vs_baseline": round(REFERENCE_MS / ms_per_frame, 4),
+                "vs_baseline": round(REFERENCE_MS / real_ms, 4),
             }
         )
-    )
+        result["extra_metrics"] = extras
+
+        # Per-phase forward breakdown + pair counters on the headline scene.
+        prof = render_phases(scene, camera, RenderSettings(sh_order=3), config)
+        result["phases"] = prof["phases_ms"]
+        result["pairs"] = {
+            "num_pairs": prof["num_pairs"],
+            "budget": prof["pair_budget"],
+            "overflow": prof["overflow"],
+        }
+        rprof = render_phases(real, real_cam, RenderSettings(sh_order=3), real_cfg)
+        result["phases_outdoor"] = rprof["phases_ms"]
+        result["pairs_outdoor"] = {
+            "num_pairs": rprof["num_pairs"],
+            "budget": rprof["pair_budget"],
+            "overflow": rprof["overflow"],
+        }
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

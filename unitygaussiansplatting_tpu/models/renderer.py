@@ -14,19 +14,51 @@ Two rasterizer backends share identical semantics:
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..ops import composite as composite_ops
-from ..ops.binning import bin_splats
+from ..ops.binning import bin_splats, pair_budget
 from ..ops.projection import project_splats
 from ..ops.rasterize_ref import rasterize_reference
 from ..ops.rasterize_tiles import rasterize_tiles_jax
 from ..utils.config import RasterizeConfig, RenderSettings
 from .camera import Camera
 from .gaussians import Gaussians
+
+
+class RenderStats(NamedTuple):
+    """Per-frame counters surfaced alongside the image.
+
+    The analog of the reference's inspector live stats
+    (GaussianSplatRendererEditor.cs:333-347) plus the failure signal the
+    static pair budget introduces: ``num_pairs`` is the true (splat, tile)
+    pair demand; if it exceeds ``budget`` the deepest pairs were dropped and
+    the frame is missing far content — raise ``config.pair_multiplier``.
+    """
+
+    num_pairs: jnp.ndarray  # () int32 true pair demand this frame
+    budget: int  # static pair capacity
+    overflowed: jnp.ndarray  # () bool: num_pairs > budget (frame truncated)
+
+
+def check_overflow(stats: RenderStats, action: str = "warn") -> bool:
+    """Host-side overflow check: warn/raise if the frame dropped pairs."""
+    over = bool(stats.overflowed)
+    if over:
+        msg = (
+            f"pair budget overflow: frame needed {int(stats.num_pairs)} "
+            f"(splat, tile) pairs but the static budget is {stats.budget}; "
+            f"deepest splats were dropped. Raise config.pair_multiplier."
+        )
+        if action == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, stacklevel=2)
+    return over
 
 
 def render(
@@ -43,21 +75,55 @@ def render(
     The alpha channel is the accumulated coverage (1 - final transmittance),
     matching the reference's offscreen RT before its composite pass.
     """
-    proj = project_splats(gaussians, camera, settings, model=model, kill_mask=kill_mask)
-    if backend == "reference":
-        return rasterize_reference(proj, camera.width, camera.height, config)
-    if backend == "jax":
-        binning = bin_splats(proj, camera.width, camera.height, config)
-        return rasterize_tiles_jax(
-            proj, binning, camera.width, camera.height, config
+    img, _ = render_with_stats(
+        gaussians, camera, settings, config, backend, model=model, kill_mask=kill_mask
+    )
+    return img
+
+
+def render_with_stats(
+    gaussians: Gaussians,
+    camera: Camera,
+    settings: RenderSettings = RenderSettings(),
+    config: RasterizeConfig = RasterizeConfig(),
+    backend: str = "jax",
+    model: jnp.ndarray | None = None,
+    kill_mask: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, RenderStats]:
+    """Like :func:`render` but also returns per-frame :class:`RenderStats`.
+
+    jit-safe (stats are arrays); use :func:`check_overflow` on the host side
+    to act on the truncation flag.
+    """
+    with jax.named_scope("splat_project"):
+        proj = project_splats(
+            gaussians, camera, settings, model=model, kill_mask=kill_mask
         )
+    n = proj.depth.shape[0]
+    if backend == "reference":
+        img = rasterize_reference(proj, camera.width, camera.height, config)
+        zero = jnp.int32(0)
+        return img, RenderStats(zero, 0, zero < 0)
+    with jax.named_scope("splat_bin"):
+        binning = bin_splats(proj, camera.width, camera.height, config)
+    budget = pair_budget(n, config)
+    stats = RenderStats(
+        num_pairs=binning.num_pairs,
+        budget=budget,
+        overflowed=binning.num_pairs > budget,
+    )
+    if backend == "jax":
+        with jax.named_scope("splat_rasterize_jax"):
+            img = rasterize_tiles_jax(proj, binning, camera.width, camera.height, config)
+        return img, stats
     if backend == "pallas":
         from ..ops.rasterize_pallas import rasterize_tiles_pallas_diff
 
-        binning = bin_splats(proj, camera.width, camera.height, config)
-        return rasterize_tiles_pallas_diff(
-            proj, binning, camera.width, camera.height, config
-        )
+        with jax.named_scope("splat_rasterize_pallas"):
+            img = rasterize_tiles_pallas_diff(
+                proj, binning, camera.width, camera.height, config
+            )
+        return img, stats
     raise ValueError(f"unknown backend {backend!r}")
 
 

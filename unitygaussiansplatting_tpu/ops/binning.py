@@ -95,10 +95,42 @@ def bin_splats(
     num_tiles = tiles_x * tiles_y
     k = pair_budget(n, config)
 
-    # Quad AABB: corners are center +- 2*axis1 +- 2*axis2
-    # (RenderGaussianSplats.shader:54-61).
-    rx = 2.0 * (jnp.abs(proj.axis1[:, 0]) + jnp.abs(proj.axis2[:, 0]))
-    ry = 2.0 * (jnp.abs(proj.axis1[:, 1]) + jnp.abs(proj.axis2[:, 1]))
+    a1x, a1y = proj.axis1[:, 0], proj.axis1[:, 1]
+    a2x, a2y = proj.axis2[:, 0], proj.axis2[:, 1]
+    valid = proj.valid
+    if config.alpha_discard > 0.0:
+        # Opacity-aware ellipse AABB — output-preserving pair reduction.
+        # The rasterizer zeroes any pair with alpha = exp(-(qx^2+qy^2)) * op
+        # below alpha_discard (the reference's 1/255 fragment discard,
+        # RenderGaussianSplats.shader:100), so a splat's true support in
+        # eigen-axis units is the circle |q| <= rho, rho^2 = ln(op/discard)
+        # (intersected with the |q| <= 2 quad when quad_clip).  Its pixel-
+        # space x-extent is rho * sqrt(a1x^2 + a2x^2) — up to sqrt(2)/dim
+        # tighter than the quad-corner AABB, and much tighter for dim
+        # splats; splats with op <= discard produce no pairs at all.
+        # The reference instead always draws the full +-2 quad
+        # (RenderGaussianSplats.shader:54-61); a GPU pays per covered
+        # fragment, a TPU per (splat, tile) pair, so tight bounds matter
+        # here and not there.  Small padding guards fp boundary cases.
+        rho = jnp.sqrt(
+            jnp.maximum(jnp.log(jnp.maximum(proj.opacity, 1e-30) / config.alpha_discard), 0.0)
+        )
+        rx = rho * jnp.sqrt(a1x * a1x + a2x * a2x) * 1.0001 + 0.01
+        ry = rho * jnp.sqrt(a1y * a1y + a2y * a2y) * 1.0001 + 0.01
+        if config.quad_clip:
+            # Support is circle(rho) INTERSECT square(2) in q-space; each
+            # set's extent bounds the intersection's, so take the min (the
+            # circle(min(rho, 2)) shortcut would wrongly cut the square's
+            # corners, which lie outside circle(2) but inside the support).
+            rx = jnp.minimum(rx, 2.0 * (jnp.abs(a1x) + jnp.abs(a2x)) + 0.01)
+            ry = jnp.minimum(ry, 2.0 * (jnp.abs(a1y) + jnp.abs(a2y)) + 0.01)
+        valid = valid & (proj.opacity >= config.alpha_discard)
+    else:
+        # alpha_discard == 0 (smooth-gradient configs): no support cutoff
+        # exists, keep the quad-corner AABB of the |q| <= 2 quad
+        # (RenderGaussianSplats.shader:54-61).
+        rx = 2.0 * (jnp.abs(a1x) + jnp.abs(a2x))
+        ry = 2.0 * (jnp.abs(a1y) + jnp.abs(a2y))
     cx, cy = proj.center[:, 0], proj.center[:, 1]
 
     x0 = jnp.clip(jnp.floor((cx - rx) / config.tile_w), 0, tiles_x).astype(jnp.int32)
@@ -107,14 +139,14 @@ def bin_splats(
     y1 = jnp.clip(jnp.floor((cy + ry) / config.tile_h) + 1, 0, tiles_y).astype(jnp.int32)
     nx = jnp.maximum(x1 - x0, 0)
     ny = jnp.maximum(y1 - y0, 0)
-    counts = jnp.where(proj.valid, nx * ny, 0)
+    counts = jnp.where(valid, nx * ny, 0)
     # Per-splat tile rect bit-packed into one word so the per-pair stage does
     # a single gather instead of three chained ones (measured 4x faster).
     # Layout: x0[0:11] | y0[11:22] | nx[22:32] — supports tile grids to 2048.
     rect_packed = x0 | (y0 << 11) | (jnp.maximum(nx, 1) << 22)
 
     # Depth-sort the splats (invalid ones sink to the end).
-    sort_key = jnp.where(proj.valid, proj.depth, jnp.inf)
+    sort_key = jnp.where(valid, proj.depth, jnp.inf)
     _, order = jax.lax.sort((sort_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
     counts_s = counts[order]
     rect_s = rect_packed[order]

@@ -47,3 +47,67 @@ def sphere_scene(
         sh0=sh0,
         sh=sh,
     )
+
+
+def outdoor_scene(n: int = 1_000_000, seed: int = 0) -> RawGaussians:
+    """Synthetic scene with real-capture-like statistics (bicycle-class).
+
+    The reference's headline scene (bicycle, 6.1M splats) is not
+    distributable, so this models the published shape of trained outdoor
+    3DGS scenes instead of the uniform sphere shell: a dense foreground
+    cluster of small splats, a ground plane, and a sparse far shell of large
+    low-detail splats; log-normal scales spanning ~3 decades and a bimodal
+    opacity distribution (many translucent floaters + solid surface splats).
+    Used by bench.py as the realistic-distribution companion to the
+    sphere-shell headline (tile-overlap and depth-complexity distributions
+    differ strongly between the two).
+    """
+    rng = np.random.default_rng(seed)
+    n_fg = int(n * 0.55)
+    n_ground = int(n * 0.25)
+    n_bg = n - n_fg - n_ground
+
+    # Foreground object cloud: anisotropic Gaussian blob around the origin.
+    fg = rng.normal(size=(n_fg, 3)) * np.asarray([1.2, 0.8, 1.2])
+    # Ground plane: thin slab, wide extent.
+    ground = np.stack(
+        [
+            rng.uniform(-12, 12, size=n_ground),
+            -0.8 + 0.05 * rng.normal(size=n_ground),
+            rng.uniform(-12, 12, size=n_ground),
+        ],
+        axis=1,
+    )
+    # Background shell: large radius, splats grow with distance.
+    dirs = rng.normal(size=(n_bg, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    r_bg = rng.uniform(8.0, 30.0, size=(n_bg, 1))
+    bg = dirs * r_bg
+    means = np.concatenate([fg, ground, bg]).astype(np.float32)
+
+    # Scales: log-normal, median ~1.5 cm foreground / 4 cm ground, background
+    # proportional to distance (constant angular size).
+    ls_fg = rng.normal(np.log(0.015), 0.9, size=(n_fg, 3))
+    ls_ground = rng.normal(np.log(0.04), 0.7, size=(n_ground, 3))
+    ls_bg = np.log(r_bg * 0.02) + rng.normal(0.0, 0.5, size=(n_bg, 3))
+    log_scales = np.concatenate([ls_fg, ls_ground, ls_bg]).astype(np.float32)
+    # Mild anisotropy everywhere (surface-aligned flattening).
+    log_scales[:, 1] -= rng.uniform(0.0, 1.5, size=n).astype(np.float32)
+
+    # Opacity: bimodal — half translucent floaters, half near-solid.
+    solid = rng.random(n) < 0.5
+    opacity_logits = np.where(
+        solid, rng.uniform(0.5, 6.0, size=n), rng.uniform(-4.5, 0.5, size=n)
+    ).astype(np.float32)
+
+    rot = rng.normal(size=(n, 4)).astype(np.float32)
+    sh0 = rng.uniform(-1.2, 1.8, size=(n, 3)).astype(np.float32)
+    sh = (0.15 * rng.normal(size=(n, 15, 3))).astype(np.float32)
+    return RawGaussians(
+        means=means,
+        rotations_wxyz=rot,
+        log_scales=log_scales,
+        opacity_logits=opacity_logits,
+        sh0=sh0,
+        sh=sh,
+    )
