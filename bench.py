@@ -8,7 +8,7 @@ order.  ``vs_baseline`` is reference_ms / our_ms (>1 means faster than the
 reference GPU).
 
 The single JSON line also carries:
-- ``phases``: per-stage forward breakdown (project / bin / prepare_pairs /
+- ``phases``: per-stage forward breakdown (project / bin_prepare /
   schedule / kernel) — the analog of the reference's ProfilerMarker phase
   numbers (readme.md:84), via utils/profiling.render_phases;
 - ``pairs``: true (splat, tile) pair demand vs static budget + overflow flag

@@ -136,9 +136,8 @@ def test_pallas_backward_matches_jax(small_scene, camera):
     def loss_pallas(raw):
         g = raw.activate()
         proj = project_splats(g, camera, RenderSettings(sh_order=1))
-        binning = bin_splats(proj, camera.width, camera.height, cfg)
         img = rpal.rasterize_tiles_pallas_diff(
-            proj, binning, camera.width, camera.height, cfg
+            proj, camera.width, camera.height, cfg
         )
         w = jnp.asarray([0.3, 0.5, 0.2, 0.7])
         return jnp.sum(img * w)
@@ -187,7 +186,7 @@ def test_pallas_bwd_kernel_matches_xla(small_scene, camera):
     try:
         _, vjp_p = jax.vjp(
             lambda p: rpal.rasterize_tiles_pallas_diff(
-                p, binning, camera.width, camera.height, cfg
+                p, camera.width, camera.height, cfg
             ),
             proj,
         )

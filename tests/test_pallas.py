@@ -31,9 +31,9 @@ def camera():
     [
         RasterizeConfig(),
         RasterizeConfig(tile_h=8, chunk_size=64),
-        RasterizeConfig(pair_multiplier=2.0),
+        RasterizeConfig(pair_multiplier=6.0, expand_chunk=128),
     ],
-    ids=["default", "small-tiles", "tight-budget"],
+    ids=["default", "small-tiles", "small-expand-chunk"],
 )
 def test_pallas_forward_matches_xla(scene, camera, config):
     proj = project_splats(scene, camera)
@@ -42,7 +42,7 @@ def test_pallas_forward_matches_xla(scene, camera, config):
     rpal.INTERPRET = True
     try:
         got = rpal.rasterize_tiles_pallas(
-            proj, binning, camera.width, camera.height, config
+            proj, camera.width, camera.height, config
         )
     finally:
         rpal.INTERPRET = False
@@ -62,8 +62,24 @@ def test_empty_scene(camera):
     rpal.INTERPRET = True
     try:
         img = rpal.rasterize_tiles_pallas(
-            proj, binning, camera.width, camera.height, config
+            proj, camera.width, camera.height, config
         )
     finally:
         rpal.INTERPRET = False
     np.testing.assert_array_equal(np.asarray(img), 0.0)
+
+
+def test_overflow_truncation_is_reported_not_silent(scene, camera):
+    # Under pair-budget overflow the fused and two-stage paths truncate
+    # different pairs (splat-major vs depth-major generation) — the frame is
+    # wrong either way, so what matters is that BOTH report the overflow.
+    from unitygaussiansplatting_tpu.models.renderer import render_with_stats
+
+    cfg = RasterizeConfig(pair_multiplier=0.5)
+    rpal.INTERPRET = True
+    try:
+        for backend in ("jax", "pallas"):
+            _, stats = render_with_stats(scene, camera, config=cfg, backend=backend)
+            assert bool(stats.overflowed), backend
+    finally:
+        rpal.INTERPRET = False

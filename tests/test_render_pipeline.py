@@ -67,15 +67,25 @@ class TestBinning:
         assert (pair_splat[: starts[-1]] < scene.num_splats).all()
 
     def test_pairs_depth_sorted_within_tile(self, scene, camera):
+        # Canonical order: quantized depth key, ties by splat index
+        # (binning.depth_key_bits) — assert it per tile.
+        from unitygaussiansplatting_tpu.ops.binning import (
+            depth_key_bits,
+            quantize_depth,
+            tile_grid,
+        )
+
         proj = project_splats(scene, camera)
         b = bin_splats(proj, camera.width, camera.height)
+        tiles_x, tiles_y = tile_grid(camera.width, camera.height, RasterizeConfig())
+        db = depth_key_bits(tiles_x * tiles_y)
+        dq = np.asarray(quantize_depth(proj.depth, db)).astype(np.int64)
         starts = np.asarray(b.tile_starts)
-        depth = np.asarray(proj.depth)
-        pair_splat = np.asarray(b.pair_splat)
+        pair_splat = np.asarray(b.pair_splat).astype(np.int64)
         for t in range(len(starts) - 1):
             seg = pair_splat[starts[t] : starts[t + 1]]
-            d = depth[seg]
-            assert (np.diff(d) >= -1e-6).all(), f"tile {t} not depth sorted"
+            key = dq[seg] * (len(dq) + 1) + seg  # (quantized depth, index)
+            assert (np.diff(key) > 0).all(), f"tile {t} not depth sorted"
 
     def test_tile_membership(self, scene, camera):
         # Each pair's splat quad AABB must actually overlap the pair's tile.
@@ -251,7 +261,7 @@ class TestPhaseProfiling:
         finally:
             rpal.INTERPRET = False
         p = out["phases_ms"]
-        for k in ("project", "bin", "prepare_pairs", "schedule", "kernel_untile"):
+        for k in ("project", "bin_prepare", "schedule", "kernel_untile"):
             assert k in p and p[k] >= 0.0
         assert out["num_pairs"] > 0
         assert not out["overflow"]

@@ -104,24 +104,32 @@ def render_with_stats(
         img = rasterize_reference(proj, camera.width, camera.height, config)
         zero = jnp.int32(0)
         return img, RenderStats(zero, 0, zero < 0)
-    with jax.named_scope("splat_bin"):
-        binning = bin_splats(proj, camera.width, camera.height, config)
     budget = pair_budget(n, config)
-    stats = RenderStats(
-        num_pairs=binning.num_pairs,
-        budget=budget,
-        overflowed=binning.num_pairs > budget,
-    )
     if backend == "jax":
+        with jax.named_scope("splat_bin"):
+            binning = bin_splats(proj, camera.width, camera.height, config)
+        stats = RenderStats(
+            num_pairs=binning.num_pairs,
+            budget=budget,
+            overflowed=binning.num_pairs > budget,
+        )
         with jax.named_scope("splat_rasterize_jax"):
             img = rasterize_tiles_jax(proj, binning, camera.width, camera.height, config)
         return img, stats
     if backend == "pallas":
+        from ..ops.binning import tile_rects
         from ..ops.rasterize_pallas import rasterize_tiles_pallas_diff
 
+        # Slot demand = real pairs + one sentinel slot per dead splat (the
+        # fused pipeline's budget consumers); N-sized, nearly free.
+        *_, counts, valid = tile_rects(proj, camera.width, camera.height, config)
+        num_slots = jnp.sum(jnp.maximum(counts, 1), dtype=jnp.int32)
+        stats = RenderStats(
+            num_pairs=num_slots, budget=budget, overflowed=num_slots > budget
+        )
         with jax.named_scope("splat_rasterize_pallas"):
             img = rasterize_tiles_pallas_diff(
-                proj, binning, camera.width, camera.height, config
+                proj, camera.width, camera.height, config
             )
         return img, stats
     raise ValueError(f"unknown backend {backend!r}")

@@ -72,6 +72,74 @@ def tile_grid(width: int, height: int, config: RasterizeConfig) -> tuple[int, in
     return cdiv(width, config.tile_w), cdiv(height, config.tile_h)
 
 
+def depth_key_bits(num_tiles: int) -> int:
+    """Bits of quantized depth available in a fused (tile | depth) 32-bit key.
+
+    The framework-wide compositing order is *quantized* view depth
+    (monotone bitcast of the positive f32 depth, top ``db`` bits), ties
+    broken by splat index.  The reference sorts the full 32-bit sortable
+    float (SplatUtilities.compute:51-57); at >= 12 bits of exponent+mantissa
+    the relative depth resolution is <= 2^-5 per octave — indistinguishable
+    compositing for real scenes — and the fused key lets one stable K-sort
+    replace the reference's separate depth sort entirely.
+    """
+    tile_vals = num_tiles + 2  # + sentinel tile, exclusive bound
+    tb = max(int(tile_vals - 1).bit_length(), 1)
+    db = 32 - tb
+    if db < 12:
+        raise ValueError(f"tile grid too large for fused sort key: {num_tiles} tiles")
+    return min(db, 24)
+
+
+def quantize_depth(depth: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """(N,) uint32 monotone depth key in [0, 2^bits) for positive depths."""
+    raw = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32)
+    raw = jnp.maximum(raw, 0)  # depth <= 0 is culled anyway; clamp for safety
+    return (raw >> (32 - bits)).astype(jnp.uint32)
+
+
+def tile_rects(
+    proj: ProjectedSplats,
+    width: int,
+    height: int,
+    config: RasterizeConfig,
+):
+    """Per-splat tile-rect bounds: (x0, y0, nx, ny, counts, valid).
+
+    Opacity-aware ellipse AABBs when alpha_discard > 0 (output-preserving
+    pair reduction — see bin_splats); quad-corner AABBs otherwise.
+    """
+    tiles_x, tiles_y = tile_grid(width, height, config)
+    a1x, a1y = proj.axis1[:, 0], proj.axis1[:, 1]
+    a2x, a2y = proj.axis2[:, 0], proj.axis2[:, 1]
+    valid = proj.valid
+    if config.alpha_discard > 0.0:
+        rho = jnp.sqrt(
+            jnp.maximum(
+                jnp.log(jnp.maximum(proj.opacity, 1e-30) / config.alpha_discard), 0.0
+            )
+        )
+        rx = rho * jnp.sqrt(a1x * a1x + a2x * a2x) * 1.0001 + 0.01
+        ry = rho * jnp.sqrt(a1y * a1y + a2y * a2y) * 1.0001 + 0.01
+        if config.quad_clip:
+            rx = jnp.minimum(rx, 2.0 * (jnp.abs(a1x) + jnp.abs(a2x)) + 0.01)
+            ry = jnp.minimum(ry, 2.0 * (jnp.abs(a1y) + jnp.abs(a2y)) + 0.01)
+        valid = valid & (proj.opacity >= config.alpha_discard)
+    else:
+        rx = 2.0 * (jnp.abs(a1x) + jnp.abs(a2x))
+        ry = 2.0 * (jnp.abs(a1y) + jnp.abs(a2y))
+    cx, cy = proj.center[:, 0], proj.center[:, 1]
+
+    x0 = jnp.clip(jnp.floor((cx - rx) / config.tile_w), 0, tiles_x).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((cx + rx) / config.tile_w) + 1, 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((cy - ry) / config.tile_h), 0, tiles_y).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((cy + ry) / config.tile_h) + 1, 0, tiles_y).astype(jnp.int32)
+    nx = jnp.maximum(x1 - x0, 0)
+    ny = jnp.maximum(y1 - y0, 0)
+    counts = jnp.where(valid, nx * ny, 0)
+    return x0, y0, nx, ny, counts, valid
+
+
 def bin_splats(
     proj: ProjectedSplats,
     width: int,
@@ -95,86 +163,64 @@ def bin_splats(
     num_tiles = tiles_x * tiles_y
     k = pair_budget(n, config)
 
-    a1x, a1y = proj.axis1[:, 0], proj.axis1[:, 1]
-    a2x, a2y = proj.axis2[:, 0], proj.axis2[:, 1]
-    valid = proj.valid
-    if config.alpha_discard > 0.0:
-        # Opacity-aware ellipse AABB — output-preserving pair reduction.
-        # The rasterizer zeroes any pair with alpha = exp(-(qx^2+qy^2)) * op
-        # below alpha_discard (the reference's 1/255 fragment discard,
-        # RenderGaussianSplats.shader:100), so a splat's true support in
-        # eigen-axis units is the circle |q| <= rho, rho^2 = ln(op/discard)
-        # (intersected with the |q| <= 2 quad when quad_clip).  Its pixel-
-        # space x-extent is rho * sqrt(a1x^2 + a2x^2) — up to sqrt(2)/dim
-        # tighter than the quad-corner AABB, and much tighter for dim
-        # splats; splats with op <= discard produce no pairs at all.
-        # The reference instead always draws the full +-2 quad
-        # (RenderGaussianSplats.shader:54-61); a GPU pays per covered
-        # fragment, a TPU per (splat, tile) pair, so tight bounds matter
-        # here and not there.  Small padding guards fp boundary cases.
-        rho = jnp.sqrt(
-            jnp.maximum(jnp.log(jnp.maximum(proj.opacity, 1e-30) / config.alpha_discard), 0.0)
+    # Opacity-aware ellipse AABBs (see tile_rects): output-preserving pair
+    # reduction vs the reference's fixed +-2 quad (a GPU pays per covered
+    # fragment, a TPU per (splat, tile) pair, so tight bounds matter here
+    # and not there, RenderGaussianSplats.shader:54-61).
+    x0, y0, nx, ny, counts, valid = tile_rects(proj, width, height, config)
+    if tiles_x > 511 or tiles_y > 2047:
+        raise ValueError(
+            f"tile grid {tiles_x}x{tiles_y} exceeds the packed-rect limits "
+            "(x0/y0: 11 bits, nx: 9 bits + parity bit)"
         )
-        rx = rho * jnp.sqrt(a1x * a1x + a2x * a2x) * 1.0001 + 0.01
-        ry = rho * jnp.sqrt(a1y * a1y + a2y * a2y) * 1.0001 + 0.01
-        if config.quad_clip:
-            # Support is circle(rho) INTERSECT square(2) in q-space; each
-            # set's extent bounds the intersection's, so take the min (the
-            # circle(min(rho, 2)) shortcut would wrongly cut the square's
-            # corners, which lie outside circle(2) but inside the support).
-            rx = jnp.minimum(rx, 2.0 * (jnp.abs(a1x) + jnp.abs(a2x)) + 0.01)
-            ry = jnp.minimum(ry, 2.0 * (jnp.abs(a1y) + jnp.abs(a2y)) + 0.01)
-        valid = valid & (proj.opacity >= config.alpha_discard)
-    else:
-        # alpha_discard == 0 (smooth-gradient configs): no support cutoff
-        # exists, keep the quad-corner AABB of the |q| <= 2 quad
-        # (RenderGaussianSplats.shader:54-61).
-        rx = 2.0 * (jnp.abs(a1x) + jnp.abs(a2x))
-        ry = 2.0 * (jnp.abs(a1y) + jnp.abs(a2y))
-    cx, cy = proj.center[:, 0], proj.center[:, 1]
-
-    x0 = jnp.clip(jnp.floor((cx - rx) / config.tile_w), 0, tiles_x).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((cx + rx) / config.tile_w) + 1, 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((cy - ry) / config.tile_h), 0, tiles_y).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((cy + ry) / config.tile_h) + 1, 0, tiles_y).astype(jnp.int32)
-    nx = jnp.maximum(x1 - x0, 0)
-    ny = jnp.maximum(y1 - y0, 0)
-    counts = jnp.where(valid, nx * ny, 0)
-    # Per-splat tile rect bit-packed into one word so the per-pair stage does
-    # a single gather instead of three chained ones (measured 4x faster).
-    # Layout: x0[0:11] | y0[11:22] | nx[22:32] — supports tile grids to 2048.
+    # Per-splat tile rect bit-packed into one word; the *repeat* below
+    # carries it directly to pair slots, so the per-pair stage needs no
+    # gather at all (a K-sized gather costs ~8 ns/index = ~300 ms at
+    # bicycle scale).  Layout: x0[0:11] | y0[11:22] | nx[22:31] | parity[31].
+    # The depth-rank parity bit makes adjacent expansion runs distinct even
+    # when two consecutive splats share an identical rect, so run starts
+    # (and from them the per-pair rank and within-run index) are recoverable
+    # from value changes alone.  nx >= 1 for every emitted splat, so the
+    # all-zero word is a free sentinel.
     rect_packed = x0 | (y0 << 11) | (jnp.maximum(nx, 1) << 22)
 
-    # Depth-sort the splats (invalid ones sink to the end).
-    sort_key = jnp.where(valid, proj.depth, jnp.inf)
-    _, order = jax.lax.sort((sort_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
-    counts_s = counts[order]
-    rect_s = rect_packed[order]
+    # Depth-sort the splats by the framework-wide *quantized* depth key
+    # (ties broken by index via sort stability — identical order to the
+    # fused-key pipeline, see depth_key_bits); invalid and pair-less ones
+    # sink to the end so that every live expansion run is non-empty
+    # (required by the parity trick) and truncation drops real far pairs
+    # last.
+    db = depth_key_bits(num_tiles)
+    dq = quantize_depth(proj.depth, db)
+    sort_key = jnp.where(valid & (counts > 0), dq, jnp.uint32(0xFFFFFFFF))
+    _, order, counts_s, rect_s = jax.lax.sort(
+        (sort_key, jnp.arange(n, dtype=jnp.int32), counts, rect_packed),
+        num_keys=1,
+        is_stable=True,
+    )
 
     offsets = jnp.cumsum(counts_s) - counts_s  # exclusive scan
     num_pairs = offsets[-1] + counts_s[-1] if n > 0 else jnp.int32(0)
 
-    # Expand to pair slots.  A sentinel row with a huge count absorbs the slots
-    # past `num_pairs`, keeping every shape static.
+    # Expand rect words to pair slots.  A sentinel row with a huge count
+    # absorbs the slots past `num_pairs`, keeping every shape static.
+    parity = (jnp.arange(n, dtype=jnp.int32) & 1) << 31  # rank parity bit
+    vals = jnp.concatenate([rect_s | parity, jnp.zeros((1,), jnp.int32)])
     counts_ext = jnp.concatenate([counts_s, jnp.asarray([k], counts_s.dtype)])
-    slot_rank = jnp.repeat(
-        jnp.arange(n + 1, dtype=jnp.int32), counts_ext, total_repeat_length=k
-    )  # (K,) index into depth-sorted splat list, == n for overflow slots
-    # One 1-D gather; everything stays 1-D (a packed (K, 3) row-gather is
-    # the same speed but its lane padding explodes memory 42x at scale).
-    rect_ext = jnp.concatenate([rect_s, jnp.asarray([1 << 22], jnp.int32)])
+    rect_k = jnp.repeat(vals, counts_ext, total_repeat_length=k)
 
-    # Rank within the run = segment iota, computed with a cummax scan over
-    # run starts instead of gathering per-splat offsets (TPU gathers cost
-    # ~8 ns/index; scans are ~30x cheaper at this size).
+    # Within-run index j = segment iota via a cummax over run starts, and
+    # depth rank = run index via a cumsum — scans are ~15x cheaper than
+    # K-sized gathers at this scale.
     iota_k = jnp.arange(k, dtype=jnp.int32)
     is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), slot_rank[1:] != slot_rank[:-1]]
+        [jnp.ones((1,), bool), rect_k[1:] != rect_k[:-1]]
     )
     j = iota_k - jax.lax.cummax(jnp.where(is_start, iota_k, 0))
-    is_real = slot_rank < n
-    rect_k = rect_ext[slot_rank]
-    snx = (rect_k >> 22) & 0x3FF
+    slot_rank = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    is_real = rect_k != 0
+    slot_rank = jnp.where(is_real, slot_rank, n)
+    snx = jnp.maximum((rect_k >> 22) & 0x1FF, 1)  # sentinel word has nx=0
     # j // snx via reciprocal multiply + exact correction: variable-divisor
     # integer division has no VPU hardware path and dominates otherwise.
     q = jnp.floor(j.astype(jnp.float32) * (1.0 / snx.astype(jnp.float32))).astype(

@@ -1,0 +1,333 @@
+"""Pallas TPU kernel: (splat, tile) pair expansion with fused field layout.
+
+The TPU-native replacement for the XLA expansion stage of binning
+(``jnp.repeat`` + K-sized gathers) *and* the pair-field materialization
+(``prepare_pairs``'s 36M-row gather).  The reference has no analog — its
+sort payload is just the splat index and the vertex shader does the
+indirection per instance (RenderGaussianSplats.shader:38); a TPU pays ~8 ns
+per random gather index, so at bicycle scale those stages cost ~1.4 s of
+XLA time.  This kernel produces the same arrays in ~tens of ms by turning
+every access into contiguous block reads + one MXU selection matmul:
+
+- Pairs are generated in *splat-major* order: splat s with pair-count
+  c_s owns the contiguous slot run [boundaries[s], boundaries[s+1]).
+- A grid step covers C consecutive slots.  Because every live run is
+  non-empty, those slots reference a window of at most C+1 consecutive
+  splats starting at r0 = rank(first slot); r0 per step is a tiny XLA
+  ``searchsorted`` (K/C queries), prefetched as scalars and used by the
+  BlockSpec index maps to fetch two consecutive C-wide blocks of the
+  per-splat table (16, N) and boundary array — all sequential HBM reads.
+- In-kernel, each slot finds its splat by counting window boundaries
+  <= slot id (a (2C, C) compare + sum), builds a one-hot selection matrix,
+  and pulls all 16 per-splat field rows at once with a (16, 2C) x (2C, C)
+  matmul on the MXU.  The within-run index j (flattened tile-rect offset)
+  falls out of the same selection applied to the boundary values.
+- Outputs, per pair: the 16 field rows (fields-major (16, K) layout — the
+  composite kernels' native layout), the tile id, and the owning splat id.
+
+The depth ordering that the old pipeline obtained from a separate N-sort is
+instead folded into the *sort key* downstream (tile << bits | quantized
+depth), so no depth-sorted reorder of splat data is ever materialized; see
+ops/binning.py:sort_key_bits.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.config import RasterizeConfig
+from .binning import cdiv
+
+# Table rows: cx, cy, a1x, a1y, a2x, a2y, r, g, b, opacity, x0, y0, nx,
+# depth_key, 0, 0.  The first 10 match the composite kernels' field order;
+# the last rows are binning metadata consumed here and by the key builder.
+_ROWS = 16
+ROW_X0 = 10
+ROW_Y0 = 11
+ROW_NX = 12
+ROW_DEPTH_KEY = 13
+
+
+def _expand_kernel(
+    r0_ref,  # (G,) int32 scalar-prefetch: first splat of each step's window
+    meta_ref,  # (1,) int32 scalar-prefetch: [num_pairs]
+    tbl_lo_ref,  # (16, C) f32: table columns [b*C, (b+1)*C)
+    tbl_hi_ref,  # (16, C) f32: next block
+    bnd_lo_ref,  # (C, 1) int32: boundaries[b*C : (b+1)*C]
+    bnd_hi_ref,  # (C, 1) int32
+    fields_ref,  # (1, 16, C) OUT: per-pair field rows
+    tile_ref,  # (1, 1, C) int32 OUT: tile id (num_tiles for dead slots)
+    splat_ref,  # (1, 1, C) int32 OUT: owning splat id (n for dead slots)
+    *,
+    num_splats: int,
+    tiles_x: int,
+    num_tiles: int,
+):
+    c = tile_ref.shape[2]
+    i = pl.program_id(0)
+    r0 = r0_ref[i]
+    num_pairs = meta_ref[0]
+    base = i * c
+
+    # Window of 2C consecutive splats starting at block floor(r0 / C).
+    win_first = (r0 // c) * c
+    bnd = jnp.concatenate([bnd_lo_ref[:, :], bnd_hi_ref[:, :]], axis=0)  # (2C, 1)
+    slots = base + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)  # (1, C)
+
+    # Each slot's splat = last window entry whose run starts at or before it.
+    cmp = (bnd <= slots).astype(jnp.float32)  # (2C, C)
+    count = jnp.sum(cmp, axis=0, keepdims=True)  # (1, C) in [1, 2C]
+    local = count - 1.0  # window-relative splat index, f32-exact
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * c, 1), 0).astype(jnp.float32)
+    sel = (sub_iota == local).astype(jnp.float32)  # (2C, C) one-hot
+
+    # Run start of each slot's splat, relative to the block base.  Values
+    # clamped into int16 range stay f32-exact; only the selected row (whose
+    # true value is within [-num_tiles, C)) survives the one-hot reduce.
+    bnd_rel = jnp.clip(bnd - base, -32768, 32767).astype(jnp.float32)
+    run_start = jnp.sum(sel * bnd_rel, axis=0, keepdims=True)  # (1, C)
+    j = (slots - base).astype(jnp.float32) - run_start  # within-run index
+
+    # All 16 field rows for every slot in one MXU matmul.
+    tbl = jnp.concatenate([tbl_lo_ref[:, :], tbl_hi_ref[:, :]], axis=1)  # (16, 2C)
+    fields = jax.lax.dot_general(
+        tbl, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (16, C)
+
+    x0 = fields[ROW_X0, :][None, :]
+    y0 = fields[ROW_Y0, :][None, :]
+    nx = jnp.maximum(fields[ROW_NX, :][None, :], 1.0)
+    # j // nx via reciprocal multiply + exact correction (no VPU int div).
+    q = jnp.floor(j * (1.0 / nx))
+    rem = j - q * nx
+    q = jnp.where(rem < 0, q - 1.0, jnp.where(rem >= nx, q + 1.0, q))
+    rem = j - q * nx
+    tile_f = (y0 + q) * tiles_x + x0 + rem  # < 2^22, f32-exact
+
+    live = slots < num_pairs  # (1, C) bool
+    tile_ref[...] = jnp.where(live, tile_f.astype(jnp.int32), num_tiles)[None]
+    splat = win_first + count.astype(jnp.int32) - 1
+    splat_ref[...] = jnp.where(live, splat, num_splats)[None]
+    fields_ref[...] = jnp.where(live, fields, 0.0)[None]
+
+
+def expand_pairs(
+    table_t: jnp.ndarray,  # (16, NPAD + C) f32 per-splat field columns
+    boundaries: jnp.ndarray,  # (NPAD + C,) int32 run starts, INT32_MAX padded
+    num_pairs: jnp.ndarray,  # () int32
+    k: int,
+    num_splats: int,
+    tiles_x: int,
+    num_tiles: int,
+    chunk: int = 256,
+    interpret: bool = False,
+):
+    """Run the expansion kernel; returns (fields (G, 16, C), tile (K,), splat (K,)).
+
+    ``NPAD`` is the splat-dim padding (multiple of C, > num_splats); both
+    inputs carry one extra C-block so the window's hi block always exists.
+    """
+    c = chunk
+    g = k // c
+    npad = table_t.shape[1] - c
+    assert boundaries.shape[0] == npad + c, (boundaries.shape, npad, c)
+    nb = npad // c  # hi block index may be nb: the extra padding block
+
+    # First splat of each step's window (XLA-side: G queries into the
+    # boundary table — the cheap searchsorted direction).
+    starts = jnp.arange(g, dtype=jnp.int32) * c
+    r0 = (
+        jnp.searchsorted(boundaries, starts, side="right").astype(jnp.int32) - 1
+    )
+    r0 = jnp.clip(r0, 0, npad - 1)
+    meta = jnp.asarray(num_pairs, jnp.int32).reshape((1,))
+
+    bnd2d = boundaries.reshape(-1, 1)
+
+    def lo_block(i, r0_ref, meta_ref):
+        return (r0_ref[i] // c, 0)
+
+    def hi_block(i, r0_ref, meta_ref):
+        return (r0_ref[i] // c + 1, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, c), lambda i, r, m: (0, lo_block(i, r, m)[0])),
+            pl.BlockSpec((_ROWS, c), lambda i, r, m: (0, hi_block(i, r, m)[0])),
+            pl.BlockSpec((c, 1), lo_block),
+            pl.BlockSpec((c, 1), hi_block),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _ROWS, c), lambda i, r, m: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, r, m: (i, 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, r, m: (i, 0, 0)),
+        ),
+    )
+
+    fields, tile, splat = pl.pallas_call(
+        functools.partial(
+            _expand_kernel,
+            num_splats=num_splats,
+            tiles_x=tiles_x,
+            num_tiles=num_tiles,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((g, _ROWS, c), jnp.float32),
+            jax.ShapeDtypeStruct((g, 1, c), jnp.int32),
+            jax.ShapeDtypeStruct((g, 1, c), jnp.int32),
+        ),
+        interpret=interpret,
+    )(r0, meta, table_t, table_t, bnd2d, bnd2d)
+    return fields, tile.reshape(k), splat.reshape(k)
+
+
+def bin_and_prepare(
+    proj,
+    width: int,
+    height: int,
+    config: RasterizeConfig = RasterizeConfig(),
+    interpret: bool = False,
+):
+    """Fused binning + pair-field preparation for the Pallas rasterizer.
+
+    Produces the same (binning, fields) the two-stage path (binning.bin_splats
+    + the old gather-based prepare) produced, with a different factorization:
+
+    1. XLA: tile rects, per-splat pair counts (dead splats get one sentinel-
+       tile pair so runs are never empty), run boundaries (cumsum), quantized
+       depth keys, the (16, N) field/metadata table — all N-sized, no sort.
+    2. Pallas expansion kernel: per-pair fields + tile id + splat id.
+    3. One stable K-sort by the fused key (tile << depth_bits | depth_key)
+       with the 10 view-data fields + splat id riding as payloads — replaces
+       the reference's separate depth sort (GpuSorting.cs:142-198) *and* the
+       pair-field gather in one pass, in per-tile (quantized depth, splat id)
+       order.
+    4. tile_starts from one searchsorted over the sorted keys.
+
+    Returns (TileBinning, fields (K // chunk_size, 16, chunk_size)).  In the
+    returned binning, ``pair_rank`` holds *original splat ids* (generation
+    order is splat-major, so ``depth_order`` is the identity) and
+    ``num_pairs`` counts slot demand including the one sentinel pair per
+    dead splat.
+    """
+    from .binning import (
+        depth_key_bits,
+        pair_budget,
+        quantize_depth,
+        tile_grid,
+        tile_rects,
+        TileBinning,
+    )
+
+    n = proj.depth.shape[0]
+    tiles_x, tiles_y = tile_grid(width, height, config)
+    num_tiles = tiles_x * tiles_y
+    if num_tiles >= 32768:
+        raise ValueError(
+            f"tile grid {tiles_x}x{tiles_y} exceeds the expansion kernel's "
+            "int16-exact boundary window"
+        )
+    k = pair_budget(n, config)
+    c = config.expand_chunk
+    assert k % c == 0 and k % config.chunk_size == 0
+    db = depth_key_bits(num_tiles)
+
+    x0, y0, nx, ny, counts, valid = tile_rects(proj, width, height, config)
+    live = valid & (counts > 0)
+    # Dead splats emit exactly one pair aimed at the sentinel tile: keeps
+    # every expansion run non-empty (the kernel's window-coverage invariant)
+    # without compacting live splats, at the cost of <= N extra slots that
+    # sort to the end and are never composited.
+    counts_slots = jnp.where(live, counts, 1)
+    x0f = jnp.where(live, x0.astype(jnp.float32), jnp.float32(num_tiles))
+    y0f = jnp.where(live, y0.astype(jnp.float32), 0.0)
+    nxf = jnp.where(live, nx.astype(jnp.float32), 1.0)
+    dq = quantize_depth(proj.depth, db)
+    dqf = jnp.where(live, dq, 0).astype(jnp.float32)  # < 2^24: f32-exact
+
+    boundaries_core = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts_slots, dtype=jnp.int32)]
+    )  # (n + 1,): run starts + total
+    num_slots = boundaries_core[-1]
+    num_real = jnp.sum(counts, dtype=jnp.int32)
+
+    npad = cdiv(n + 1, c) * c
+    boundaries = jnp.full((npad + c,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    boundaries = jax.lax.dynamic_update_slice(boundaries, boundaries_core, (0,))
+
+    zeros = jnp.zeros((n,), jnp.float32)
+    table = jnp.stack(
+        [
+            proj.center[:, 0],
+            proj.center[:, 1],
+            proj.axis1[:, 0],
+            proj.axis1[:, 1],
+            proj.axis2[:, 0],
+            proj.axis2[:, 1],
+            proj.color[:, 0],
+            proj.color[:, 1],
+            proj.color[:, 2],
+            jnp.where(live, proj.opacity, 0.0),
+            x0f,
+            y0f,
+            nxf,
+            dqf,
+            zeros,
+            zeros,
+        ],
+        axis=0,
+    )  # (16, n)
+    # Dead-splat geometry can be NaN (behind-camera projections); scrub it so
+    # sentinel pairs stay finite (they never composite, but NaN poisons
+    # nothing-checks and the sort is fed from these columns).
+    table = jnp.where(jnp.isfinite(table), table, 0.0)
+    table_t = jnp.pad(table, ((0, 0), (0, npad + c - n)))
+
+    fields_gen, tile_gen, splat_gen = expand_pairs(
+        table_t,
+        boundaries,
+        num_slots,
+        k,
+        n,
+        tiles_x,
+        num_tiles,
+        chunk=c,
+        interpret=interpret,
+    )
+
+    dq_pair = fields_gen[:, ROW_DEPTH_KEY, :].reshape(k).astype(jnp.uint32)
+    key = (tile_gen.astype(jnp.uint32) << db) | dq_pair
+
+    operands = (key, splat_gen) + tuple(
+        fields_gen[:, i, :].reshape(k) for i in range(10)
+    )
+    sorted_ = jax.lax.sort(operands, num_keys=1, is_stable=True)
+    key_s, splat_s = sorted_[0], sorted_[1]
+
+    tile_bounds = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << db).astype(
+        jnp.uint32
+    )
+    tile_starts = jnp.searchsorted(key_s, tile_bounds, side="left").astype(jnp.int32)
+
+    g2 = k // config.chunk_size
+    fields = jnp.concatenate(
+        [jnp.stack(sorted_[2:], axis=0), jnp.zeros((6, k), jnp.float32)], axis=0
+    ).reshape(_ROWS, g2, config.chunk_size).transpose(1, 0, 2)
+
+    binning = TileBinning(
+        pair_rank=splat_s,
+        pair_tile=(key_s >> db).astype(jnp.int32),
+        depth_order=jnp.arange(n, dtype=jnp.int32),
+        rank_counts=counts_slots,
+        tile_starts=tile_starts,
+        num_pairs=num_slots,
+    )
+    return binning, fields, num_real

@@ -51,54 +51,6 @@ _FIELDS = 16
 INTERPRET = False
 
 
-def prepare_pairs(proj: ProjectedSplats, binning: TileBinning, chunk: int):
-    """Materialize tile-sorted pair view data as (K/C, 16, C) blocks.
-
-    One K-sized *row* gather (by depth rank, from a row-major depth-ordered
-    splat table): rows are contiguous 64 B, ~4.5x faster than a column
-    gather from a (16, N) table.  The (piece, 16)-shaped gather output
-    lane-pads 8x, so the gather runs piecewise under ``lax.map`` to bound
-    the transient (a single (K, 16) buffer is ~12 GB at bicycle scale).
-    Sentinel pairs (rank == n) hit an appended zero row, so they contribute
-    nothing without a separate mask.
-    """
-    n = proj.depth.shape[0]
-    k = binning.pair_rank.shape[0]
-    g = k // chunk
-
-    packed = jnp.concatenate(
-        [
-            proj.center,
-            proj.axis1,
-            proj.axis2,
-            proj.color,
-            proj.opacity[:, None],
-            jnp.zeros((n, _FIELDS - 10), jnp.float32),
-        ],
-        axis=1,
-    )  # (N, 16), row-major
-    packed = jnp.take(packed, binning.depth_order, axis=0)
-    packed = jnp.concatenate([packed, jnp.zeros((1, _FIELDS))], axis=0)
-
-    # Pieces sized ~2M pairs keep the padded transient near ~1 GB.  Pad the
-    # rank array up to pieces * blocks_per_piece instead of searching for a
-    # divisor — when K/chunk lacks small factors a divisor search degrades to
-    # tens of thousands of sequential map iterations.
-    pieces = max(1, min(g, cdiv(k, 2_097_152)))
-    bp = cdiv(g, pieces)  # blocks per piece
-    pad = bp * pieces * chunk - k
-    ranks = jnp.concatenate(
-        [binning.pair_rank, jnp.full((pad,), n, jnp.int32)]
-    )  # sentinel rank -> zero row
-
-    def piece(rk_i):
-        return jnp.take(packed, rk_i, axis=0).T  # (16, bp * C)
-
-    parts = jax.lax.map(piece, ranks.reshape(pieces, bp * chunk))
-    fields = parts.reshape(pieces, _FIELDS, bp, chunk)
-    return fields.transpose(0, 2, 1, 3).reshape(pieces * bp, _FIELDS, chunk)[:g]
-
-
 def build_schedule(binning: TileBinning, num_tiles: int, chunk: int):
     """Per-step tile assignment covering every tile's pair range.
 
@@ -258,7 +210,8 @@ def composite_pallas(
 ):
     """Run the Pallas composite over prepared pair blocks + schedule.
 
-    ``return_raw`` additionally returns the (T+1, 4, P) tile-layout buffer
+    ``fields`` is (K/C, 16, C) pair-block layout from the fused pipeline
+    (ops/pair_expand.bin_and_prepare).  ``return_raw`` additionally returns the (T+1, 4, P) tile-layout buffer
     (the backward pass consumes it as the saved forward output)."""
     th, tw = config.tile_h, config.tile_w
     tiles_x, tiles_y = tile_grid(width, height, config)
@@ -317,16 +270,19 @@ def tile_layout(img: jnp.ndarray, width: int, height: int, config: RasterizeConf
 
 def rasterize_tiles_pallas(
     proj: ProjectedSplats,
-    binning: TileBinning,
     width: int,
     height: int,
     config: RasterizeConfig = RasterizeConfig(),
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Composite tile-binned splats with the Pallas kernel; (H, W, 4) RGBA."""
+    """Bin + composite splats with the fused Pallas pipeline; (H, W, 4) RGBA."""
+    from .pair_expand import bin_and_prepare
+
     tiles_x, tiles_y = tile_grid(width, height, config)
     num_tiles = tiles_x * tiles_y
-    fields = prepare_pairs(proj, binning, config.chunk_size)
+    binning, fields, _ = bin_and_prepare(
+        proj, width, height, config, interpret=interpret or INTERPRET
+    )
     schedule = build_schedule(binning, num_tiles, config.chunk_size)
     return composite_pallas(fields, schedule, width, height, config, interpret)
 
@@ -342,21 +298,24 @@ def rasterize_tiles_pallas(
 # part #3).
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def rasterize_tiles_pallas_diff(
     proj: ProjectedSplats,
-    binning: TileBinning,
     width: int,
     height: int,
     config: RasterizeConfig = RasterizeConfig(),
 ) -> jnp.ndarray:
-    """Differentiable (w.r.t. proj) Pallas rasterization."""
-    return rasterize_tiles_pallas(proj, binning, width, height, config)
+    """Differentiable (w.r.t. proj) fused Pallas rasterization."""
+    return rasterize_tiles_pallas(proj, width, height, config)
 
 
-def _diff_fwd(proj, binning, width, height, config):
+def _diff_fwd(proj, width, height, config):
+    from .pair_expand import bin_and_prepare
+
     tiles_x, tiles_y = tile_grid(width, height, config)
-    fields = prepare_pairs(proj, binning, config.chunk_size)
+    binning, fields, _ = bin_and_prepare(
+        proj, width, height, config, interpret=INTERPRET
+    )
     schedule = build_schedule(binning, tiles_x * tiles_y, config.chunk_size)
     out, raw = composite_pallas(
         fields, schedule, width, height, config, return_raw=True
@@ -385,7 +344,9 @@ def _diff_bwd(width, height, config, res, g):
             fields, schedule, raw, dout_raw, width, height, config
         )
         dpairs = steps_to_pair_gradients(dsteps, binning, num_tiles, config.chunk_size)
-        dsplat = pair_gradients_to_splats(dpairs, binning, binning.rank_counts, n)
+        dsplat = pair_gradients_to_splats(
+            dpairs, binning, binning.rank_counts, n, identity_order=True
+        )
         d_proj = ProjectedSplats(
             depth=jnp.zeros_like(proj.depth),
             center=dsplat[:, 0:2],
@@ -397,18 +358,17 @@ def _diff_bwd(width, height, config, res, g):
             valid=_np.zeros(proj.valid.shape, jax.dtypes.float0),
         )
     else:
+        from .binning import bin_splats
         from .rasterize_tiles import rasterize_tiles_jax
 
-        _, vjp = jax.vjp(
-            lambda p: rasterize_tiles_jax(p, binning, width, height, config), proj
-        )
+        def f(p):
+            b = bin_splats(p, width, height, config)
+            return rasterize_tiles_jax(p, b, width, height, config)
+
+        _, vjp = jax.vjp(f, proj)
         (d_proj,) = vjp(g)
 
-    # Binning arrays are integer-valued: their tangent space is float0.
-    d_binning = jax.tree_util.tree_map(
-        lambda x: _np.zeros(x.shape, jax.dtypes.float0), binning
-    )
-    return d_proj, d_binning
+    return (d_proj,)
 
 
 rasterize_tiles_pallas_diff.defvjp(_diff_fwd, _diff_bwd)

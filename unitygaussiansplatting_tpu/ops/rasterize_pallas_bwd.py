@@ -303,6 +303,7 @@ def pair_gradients_to_splats(
     binning: TileBinning,
     counts_by_rank: jnp.ndarray,  # (N,) pairs per depth rank
     num_splats: int,
+    identity_order: bool = False,  # True when depth_order is the identity
 ) -> jnp.ndarray:
     """Reduce per-pair grads to per-splat grads (N, 16), original splat order.
 
@@ -337,6 +338,9 @@ def pair_gradients_to_splats(
         jnp.take(csum, offsets[1:], axis=1) - jnp.take(csum, offsets[:-1], axis=1)
     )  # (16, N) by depth rank
 
+    if identity_order:
+        # Fused pipeline: generation order is splat-major, ranks ARE splat ids.
+        return sums.T
     # Depth order -> original splat order (inverse permute via one N-sort).
     _, inv_order = jax.lax.sort(
         (binning.depth_order, jnp.arange(num_splats, dtype=jnp.int32)), num_keys=1

@@ -76,7 +76,17 @@ def rasterize_reference(
     """
     px, py = _pixel_centers(width, height)
 
-    order = jnp.argsort(jnp.where(proj.valid, proj.depth, jnp.inf))
+    # Framework-wide canonical compositing order: quantized depth key, ties
+    # broken by splat index (stable) — identical to the tile pipelines'
+    # fused sort key (binning.depth_key_bits).
+    from .binning import depth_key_bits, quantize_depth, tile_grid
+
+    tiles_x, tiles_y = tile_grid(width, height, config)
+    db = depth_key_bits(tiles_x * tiles_y)
+    dq = quantize_depth(proj.depth, db)
+    order = jnp.argsort(
+        jnp.where(proj.valid, dq, jnp.uint32(0xFFFFFFFF)), stable=True
+    )
     centers = proj.center[order]
     axis1 = proj.axis1[order]
     axis2 = proj.axis2[order]

@@ -72,16 +72,16 @@ def render_strips_fn(
         shifted = proj._replace(
             center=proj.center - jnp.stack([jnp.float32(0.0), origin_y])
         )
-        binning = bin_splats(shifted, camera.width, strip_h, config)
         if backend == "pallas":
             from ..ops.rasterize_pallas import rasterize_tiles_pallas_diff
 
             strip = rasterize_tiles_pallas_diff(
-                shifted, binning, camera.width, strip_h, config
+                shifted, camera.width, strip_h, config
             )
         else:
             from ..ops.rasterize_tiles import rasterize_tiles_jax
 
+            binning = bin_splats(shifted, camera.width, strip_h, config)
             strip = rasterize_tiles_jax(shifted, binning, camera.width, strip_h, config)
         # 4. Gather strips into the full frame (replicated output).
         strips = jax.lax.all_gather(strip, SPLAT_AXIS, axis=0, tiled=False)

@@ -57,6 +57,9 @@ class RasterizeConfig:
     # Splats processed per inner-kernel chunk; also the MXU contraction dim of
     # the color accumulation matmul.
     chunk_size: int = dataclasses.field(default=128, metadata={"static": True})
+    # Pairs per step of the Pallas expansion kernel (ops/pair_expand.py);
+    # larger amortizes grid overhead, smaller shrinks its selection matmul.
+    expand_chunk: int = dataclasses.field(default=256, metadata={"static": True})
     # Static per-tile work cap for the XLA rasterizer path (it needs a static
     # trip count; the Pallas kernel loops to the true per-tile count instead).
     max_pairs_per_tile: int = dataclasses.field(default=8192, metadata={"static": True})

@@ -54,24 +54,21 @@ def render_phases(
     tiles_x, tiles_y = tile_grid(w, h, config)
     num_tiles = tiles_x * tiles_y
 
+    from ..ops.pair_expand import bin_and_prepare
+
+    interpret = bool(_rp.INTERPRET)
     phases: dict[str, float] = {}
     ms, proj = _time_call(
         jax.jit(lambda g: project_splats(g, camera, settings)), gaussians, reps=reps
     )
     phases["project"] = round(ms, 2)
 
-    ms, binning = _time_call(
-        jax.jit(lambda p: bin_splats(p, w, h, config)), proj, reps=reps
-    )
-    phases["bin"] = round(ms, 2)
-
-    ms, fields = _time_call(
-        jax.jit(lambda p, b: _rp.prepare_pairs(p, b, config.chunk_size)),
+    ms, (binning, fields, num_real) = _time_call(
+        jax.jit(lambda p: bin_and_prepare(p, w, h, config, interpret=interpret)),
         proj,
-        binning,
         reps=reps,
     )
-    phases["prepare_pairs"] = round(ms, 2)
+    phases["bin_prepare"] = round(ms, 2)
 
     ms, schedule = _time_call(
         jax.jit(lambda b: _rp.build_schedule(b, num_tiles, config.chunk_size)),
@@ -81,7 +78,11 @@ def render_phases(
     phases["schedule"] = round(ms, 2)
 
     ms, _img = _time_call(
-        jax.jit(lambda f, s: _rp.composite_pallas(f, s, w, h, config)),
+        jax.jit(
+            lambda f, s: _rp.composite_pallas(
+                f, s, w, h, config, interpret=interpret
+            )
+        ),
         fields,
         schedule,
         reps=reps,
@@ -95,6 +96,7 @@ def render_phases(
     return {
         "phases_ms": phases,
         "num_pairs": num_pairs,
+        "num_real_pairs": int(num_real),
         "pair_budget": budget,
         "overflow": num_pairs > budget,
     }
