@@ -37,14 +37,31 @@ def main():
     p.add_argument("--camera", type=int, default=None, help="imported camera index")
     p.add_argument("--sh-order", type=int, default=3)
     p.add_argument("--backend", default="pallas", choices=["pallas", "jax", "reference"])
+    p.add_argument(
+        "--host-decode",
+        action="store_true",
+        help="decode to float splats on the host instead of rendering from "
+        "the compressed blobs on device",
+    )
     args = p.parse_args()
 
     if args.input.endswith(".asset.json"):
         asset = load_asset(args.input)
     else:
         asset = create_asset(args.input, quality=args.quality)
-    cloud = input_splats_to_gaussians(decode_asset(asset))
-    print(f"{asset.splat_count} splats, {asset.total_bytes() / 1e6:.1f} MB asset")
+    if args.host_decode:
+        cloud = input_splats_to_gaussians(decode_asset(asset))
+        print(f"{asset.splat_count} splats, {asset.total_bytes() / 1e6:.1f} MB asset (host decode)")
+    else:
+        # Device-side per-frame decode from the quantized blobs — the
+        # reference's LoadSplatData path (1.3 GB VRAM story, readme.md:84).
+        from unitygaussiansplatting_tpu.io.device_asset import device_asset_from_asset
+
+        cloud = device_asset_from_asset(asset)
+        print(
+            f"{asset.splat_count} splats, {asset.total_bytes() / 1e6:.1f} MB asset, "
+            f"{cloud.device_bytes() / 1e6:.1f} MB device-resident"
+        )
 
     if args.camera is not None and asset.cameras:
         cam = Camera.from_camera_info(

@@ -36,7 +36,7 @@ def camera():
 
 # Finite differences require a smooth forward pass: the quad clip and alpha
 # discard are O(1) jumps that FD samples but autodiff (correctly) ignores.
-SMOOTH = RasterizeConfig(quad_clip=False, alpha_discard=0.0)
+SMOOTH = RasterizeConfig(quad_clip=False, alpha_discard=0.0, pack_color_f16=False)
 
 
 def loss_fn(raw, camera, backend, config=SMOOTH):
@@ -167,7 +167,10 @@ def test_pallas_bwd_kernel_matches_xla(small_scene, camera):
     from unitygaussiansplatting_tpu.ops.projection import project_splats
     from unitygaussiansplatting_tpu.ops.rasterize_tiles import rasterize_tiles_jax
 
-    cfg = RasterizeConfig()
+    # pack_color_f16 off: the XLA path's autodiff rounds color cotangents
+    # through f16 (vjp of the quantization cast) while the hand-written
+    # kernel keeps them f32 — a real 1e-3-level difference by design.
+    cfg = RasterizeConfig(pack_color_f16=False)
     g = small_scene.activate()
     proj = project_splats(g, camera, RenderSettings(sh_order=1))
     binning = bin_splats(proj, camera.width, camera.height, cfg)

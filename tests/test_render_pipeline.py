@@ -181,8 +181,10 @@ class TestEdgeCases:
         np.testing.assert_array_equal(np.asarray(img), 0.0)
 
     def test_fp16_color_flag_close_but_not_exact(self, scene, camera):
-        full = render(scene, camera, settings=RenderSettings(fp16_color=False))
-        half = render(scene, camera, settings=RenderSettings(fp16_color=True))
+        # pack_color_f16 off so the RenderSettings flag is the only rounder.
+        cfg = RasterizeConfig(pack_color_f16=False)
+        full = render(scene, camera, settings=RenderSettings(fp16_color=False), config=cfg)
+        half = render(scene, camera, settings=RenderSettings(fp16_color=True), config=cfg)
         d = np.abs(np.asarray(full) - np.asarray(half))
         assert d.max() < 5e-3  # fp16 rounding of colors stays subtle
         assert d.max() > 0.0  # but is actually exercised

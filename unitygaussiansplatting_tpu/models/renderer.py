@@ -94,7 +94,17 @@ def render_with_stats(
 
     jit-safe (stats are arrays); use :func:`check_overflow` on the host side
     to act on the truncation flag.
+
+    ``gaussians`` may also be an :class:`io.device_asset.DeviceAsset`: the
+    compressed blobs then decode on device inside this jitted frame (the
+    reference's per-frame ``LoadSplatData`` decode,
+    GaussianSplatting.hlsl:428-608), so HBM holds only the quantized asset.
     """
+    if hasattr(gaussians, "pos_q"):  # DeviceAsset (duck-typed: no import cycle)
+        from ..io.device_asset import decode_device
+
+        with jax.named_scope("splat_decode"):
+            gaussians = decode_device(gaussians)
     with jax.named_scope("splat_project"):
         proj = project_splats(
             gaussians, camera, settings, model=model, kill_mask=kill_mask

@@ -163,6 +163,9 @@ def bin_splats(
     num_tiles = tiles_x * tiles_y
     k = pair_budget(n, config)
 
+    from .tile_common import quantize_view_fp16
+
+    proj = quantize_view_fp16(proj, config)  # bounds must see rounded opacity
     # Opacity-aware ellipse AABBs (see tile_rects): output-preserving pair
     # reduction vs the reference's fixed +-2 quad (a GPU pays per covered
     # fragment, a TPU per (splat, tile) pair, so tight bounds matter here

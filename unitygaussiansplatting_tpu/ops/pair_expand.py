@@ -44,13 +44,19 @@ from ..utils.config import RasterizeConfig
 from .binning import cdiv
 
 # Table rows: cx, cy, a1x, a1y, a2x, a2y, r, g, b, opacity, x0, y0, nx,
-# depth_key, 0, 0.  The first 10 match the composite kernels' field order;
-# the last rows are binning metadata consumed here and by the key builder.
+# depth_key, support_r2, 0.  The first 10 match the composite kernels'
+# field order; the rest are binning metadata consumed here and by the key
+# builder.  support_r2 = min(rho^2, 8) * max(|a1|^2, |a2|^2): any tile
+# whose rect lies entirely farther than sqrt(support_r2) pixels from the
+# center cannot contain a pixel passing the alpha/quad keep test (q^2 >=
+# |d|^2 / max-axis^2), so the kernel retargets such corner-rect pairs to
+# the sentinel tile — an output-preserving refinement of the AABB binning.
 _ROWS = 16
 ROW_X0 = 10
 ROW_Y0 = 11
 ROW_NX = 12
 ROW_DEPTH_KEY = 13
+ROW_R2 = 14
 
 
 def _expand_kernel(
@@ -67,6 +73,8 @@ def _expand_kernel(
     num_splats: int,
     tiles_x: int,
     num_tiles: int,
+    tile_w: int,
+    tile_h: int,
 ):
     c = tile_ref.shape[2]
     i = pl.program_id(0)
@@ -107,10 +115,27 @@ def _expand_kernel(
     rem = j - q * nx
     q = jnp.where(rem < 0, q - 1.0, jnp.where(rem >= nx, q + 1.0, q))
     rem = j - q * nx
-    tile_f = (y0 + q) * tiles_x + x0 + rem  # < 2^22, f32-exact
+    tx = x0 + rem
+    ty = y0 + q
+    tile_f = ty * tiles_x + tx  # < 2^22, f32-exact
+
+    # Conservative circle-vs-tile-rect cull: pairs whose tile rect cannot
+    # contain any passing pixel go to the sentinel tile (see ROW_R2 note).
+    cx = fields[0, :][None, :]
+    cy = fields[1, :][None, :]
+    r2 = fields[ROW_R2, :][None, :]
+    dx_lo = tx * tile_w - cx
+    dx_hi = cx - (tx + 1.0) * tile_w
+    dy_lo = ty * tile_h - cy
+    dy_hi = cy - (ty + 1.0) * tile_h
+    ddx = jnp.maximum(jnp.maximum(dx_lo, dx_hi), 0.0)
+    ddy = jnp.maximum(jnp.maximum(dy_lo, dy_hi), 0.0)
+    touches = ddx * ddx + ddy * ddy <= r2
 
     live = slots < num_pairs  # (1, C) bool
-    tile_ref[...] = jnp.where(live, tile_f.astype(jnp.int32), num_tiles)[None]
+    tile_ref[...] = jnp.where(live & touches, tile_f.astype(jnp.int32), num_tiles)[
+        None
+    ]
     splat = win_first + count.astype(jnp.int32) - 1
     splat_ref[...] = jnp.where(live, splat, num_splats)[None]
     fields_ref[...] = jnp.where(live, fields, 0.0)[None]
@@ -125,6 +150,8 @@ def expand_pairs(
     tiles_x: int,
     num_tiles: int,
     chunk: int = 256,
+    tile_w: int = 128,
+    tile_h: int = 16,
     interpret: bool = False,
 ):
     """Run the expansion kernel; returns (fields (G, 16, C), tile (K,), splat (K,)).
@@ -177,6 +204,8 @@ def expand_pairs(
             num_splats=num_splats,
             tiles_x=tiles_x,
             num_tiles=num_tiles,
+            tile_w=tile_w,
+            tile_h=tile_h,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -227,6 +256,9 @@ def bin_and_prepare(
         TileBinning,
     )
 
+    from .tile_common import quantize_view_fp16
+
+    proj = quantize_view_fp16(proj, config)
     n = proj.depth.shape[0]
     tiles_x, tiles_y = tile_grid(width, height, config)
     num_tiles = tiles_x * tiles_y
@@ -241,6 +273,22 @@ def bin_and_prepare(
     db = depth_key_bits(num_tiles)
 
     x0, y0, nx, ny, counts, valid = tile_rects(proj, width, height, config)
+
+    # Conservative per-splat support radius^2 for the kernel's corner cull
+    # (see ROW_R2): q^2 >= |d|^2 / max(|a1|^2, |a2|^2) and the keep test
+    # requires q^2 <= min(rho^2, 8); small margin guards fp rounding.
+    amax2 = jnp.maximum(
+        jnp.sum(proj.axis1 * proj.axis1, axis=-1),
+        jnp.sum(proj.axis2 * proj.axis2, axis=-1),
+    )
+    qcap = jnp.float32(1e30)
+    if config.alpha_discard > 0.0:
+        qcap = jnp.maximum(
+            jnp.log(jnp.maximum(proj.opacity, 1e-30) / config.alpha_discard), 0.0
+        )
+    if config.quad_clip:
+        qcap = jnp.minimum(qcap, 8.0)
+    support_r2 = jnp.minimum(qcap * amax2 * 1.0002 + 0.01, 1e30)
     live = valid & (counts > 0)
     # Dead splats emit exactly one pair aimed at the sentinel tile: keeps
     # every expansion run non-empty (the kernel's window-coverage invariant)
@@ -280,7 +328,7 @@ def bin_and_prepare(
             y0f,
             nxf,
             dqf,
-            zeros,
+            jnp.where(live, support_r2, 1e30),
             zeros,
         ],
         axis=0,
@@ -300,15 +348,31 @@ def bin_and_prepare(
         tiles_x,
         num_tiles,
         chunk=c,
+        tile_w=config.tile_w,
+        tile_h=config.tile_h,
         interpret=interpret,
     )
 
     dq_pair = fields_gen[:, ROW_DEPTH_KEY, :].reshape(k).astype(jnp.uint32)
     key = (tile_gen.astype(jnp.uint32) << db) | dq_pair
 
-    operands = (key, splat_gen) + tuple(
-        fields_gen[:, i, :].reshape(k) for i in range(10)
-    )
+    def row(i):
+        return fields_gen[:, i, :].reshape(k)
+
+    if config.pack_color_f16:
+        # Colors+opacity were rounded to f16 above, so carrying their bits
+        # as two packed u32 payloads is lossless and saves two sort
+        # operands (~40 ms each at bicycle scale).
+        def h(x):
+            return jax.lax.bitcast_convert_type(
+                x.astype(jnp.float16), jnp.uint16
+            ).astype(jnp.uint32)
+
+        cu1 = h(row(6)) | (h(row(7)) << 16)
+        cu2 = h(row(8)) | (h(row(9)) << 16)
+        operands = (key, splat_gen) + tuple(row(i) for i in range(6)) + (cu1, cu2)
+    else:
+        operands = (key, splat_gen) + tuple(row(i) for i in range(10))
     sorted_ = jax.lax.sort(operands, num_keys=1, is_stable=True)
     key_s, splat_s = sorted_[0], sorted_[1]
 
@@ -317,9 +381,27 @@ def bin_and_prepare(
     )
     tile_starts = jnp.searchsorted(key_s, tile_bounds, side="left").astype(jnp.int32)
 
+    if config.pack_color_f16:
+        cu1_s, cu2_s = sorted_[8], sorted_[9]
+
+        def unh(u):
+            return jax.lax.bitcast_convert_type(
+                u.astype(jnp.uint16), jnp.float16
+            ).astype(jnp.float32)
+
+        color_rows = [
+            unh(cu1_s),
+            unh(cu1_s >> 16),
+            unh(cu2_s),
+            unh(cu2_s >> 16),
+        ]
+        field_rows = list(sorted_[2:8]) + color_rows
+    else:
+        field_rows = list(sorted_[2:12])
+
     g2 = k // config.chunk_size
     fields = jnp.concatenate(
-        [jnp.stack(sorted_[2:], axis=0), jnp.zeros((6, k), jnp.float32)], axis=0
+        [jnp.stack(field_rows, axis=0), jnp.zeros((6, k), jnp.float32)], axis=0
     ).reshape(_ROWS, g2, config.chunk_size).transpose(1, 0, 2)
 
     binning = TileBinning(

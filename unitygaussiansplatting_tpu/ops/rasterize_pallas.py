@@ -51,6 +51,11 @@ _FIELDS = 16
 INTERPRET = False
 
 
+def _interp() -> bool:
+    """Interpret-mode default: forced by tests or implied by a CPU backend."""
+    return INTERPRET or jax.default_backend() == "cpu"
+
+
 def build_schedule(binning: TileBinning, num_tiles: int, chunk: int):
     """Per-step tile assignment covering every tile's pair range.
 
@@ -244,7 +249,7 @@ def composite_pallas(
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles + 1, 4, p), jnp.float32),
-        interpret=interpret or INTERPRET,
+        interpret=interpret or _interp(),
     )(step_tile, tile_starts, first_step, fields)
 
     # Untile: (T, 4, P) -> (H, W, 4).
@@ -281,7 +286,7 @@ def rasterize_tiles_pallas(
     tiles_x, tiles_y = tile_grid(width, height, config)
     num_tiles = tiles_x * tiles_y
     binning, fields, _ = bin_and_prepare(
-        proj, width, height, config, interpret=interpret or INTERPRET
+        proj, width, height, config, interpret=interpret or _interp()
     )
     schedule = build_schedule(binning, num_tiles, config.chunk_size)
     return composite_pallas(fields, schedule, width, height, config, interpret)
@@ -314,7 +319,7 @@ def _diff_fwd(proj, width, height, config):
 
     tiles_x, tiles_y = tile_grid(width, height, config)
     binning, fields, _ = bin_and_prepare(
-        proj, width, height, config, interpret=INTERPRET
+        proj, width, height, config, interpret=_interp()
     )
     schedule = build_schedule(binning, tiles_x * tiles_y, config.chunk_size)
     out, raw = composite_pallas(

@@ -74,6 +74,9 @@ def rasterize_reference(
     composite pass: rgb = sum of T_i * alpha_i * color_i, a = 1 - T_final
     (RenderGaussianSplats.shader blend + GaussianComposite.shader semantics).
     """
+    from .tile_common import quantize_view_fp16
+
+    proj = quantize_view_fp16(proj, config)
     px, py = _pixel_centers(width, height)
 
     # Framework-wide canonical compositing order: quantized depth key, ties

@@ -56,6 +56,9 @@ def rasterize_tiles_jax(
     static trip count; the Pallas kernel instead loops to the true per-tile
     count).
     """
+    from .tile_common import quantize_view_fp16
+
+    proj = quantize_view_fp16(proj, config)
     th, tw = config.tile_h, config.tile_w
     chunk = config.chunk_size
     tiles_x, tiles_y = tile_grid(width, height, config)

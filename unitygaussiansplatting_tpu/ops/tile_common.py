@@ -19,6 +19,23 @@ import jax.numpy as jnp
 from ..utils.config import RasterizeConfig
 
 
+def quantize_view_fp16(proj, config: RasterizeConfig):
+    """Round projected color+opacity through fp16 when configured.
+
+    Mirrors the reference's packed SplatViewData exactly (f32tof16 of color
+    and opacity, SplatUtilities.compute:247-248).  Idempotent; called at the
+    entry of every rasterizer path so all three backends see identical
+    values (the fused pipeline then carries the f16 bits losslessly as
+    packed u32 sort payloads).
+    """
+    if not config.pack_color_f16:
+        return proj
+    return proj._replace(
+        color=proj.color.astype(jnp.float16).astype(jnp.float32),
+        opacity=proj.opacity.astype(jnp.float16).astype(jnp.float32),
+    )
+
+
 def chunk_alphas(
     center: jnp.ndarray,  # (C, 2)
     axis1: jnp.ndarray,  # (C, 2)

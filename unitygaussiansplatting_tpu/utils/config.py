@@ -47,9 +47,10 @@ class RasterizeConfig:
     (splat, tile) duplication list so every shape stays static under jit.
     """
 
-    # tile_h=8 measured fastest at bicycle scale (tiny splats dominate, so
-    # halving tile area cuts per-pair pixel work more than it adds pairs).
-    tile_h: int = dataclasses.field(default=8, metadata={"static": True})
+    # tile_h=16 measured fastest end-to-end at bicycle scale with the fused
+    # pipeline (pair count scales ~1/tile_h while per-pair pixel work scales
+    # ~tile_h; sort cost per pair pushes the optimum up from 8).
+    tile_h: int = dataclasses.field(default=16, metadata={"static": True})
     tile_w: int = dataclasses.field(default=128, metadata={"static": True})
     # Max (splat, tile) pairs as a multiple of N; pairs beyond the budget are
     # dropped far-field first (they sort after the cutoff).
@@ -79,3 +80,11 @@ class RasterizeConfig:
     # VJP (False falls back to XLA autodiff of the tile path — test-scale
     # only: its transposed scan lane-pads pair buffers and OOMs at scale).
     pallas_backward: bool = dataclasses.field(default=True, metadata={"static": True})
+    # Round pair colors+opacity through fp16, exactly like the reference's
+    # packed SplatViewData (SplatUtilities.compute:247-248 f32tof16).  Lets
+    # the fused pipeline carry color as two packed u32 sort payloads
+    # (~80 ms/frame at bicycle scale).  Applied consistently in ALL
+    # backends (oracle included) so cross-backend tests stay exact; set
+    # False (with alpha_discard=0) for smooth-gradient finite-difference
+    # work.
+    pack_color_f16: bool = dataclasses.field(default=True, metadata={"static": True})
