@@ -75,9 +75,9 @@ def main():
         width=width,
         height=height,
     )
-    # 6x pair budget: the synthetic scene averages ~5.5 tiles per splat at
-    # this resolution (fat shell splats); real-capture statistics need ~2x.
-    config = RasterizeConfig(pair_multiplier=float(os.environ.get("BENCH_PAIR_MULT", 6.0)))
+    # Pair budget: the synthetic scene demands ~4.8 slots per splat at
+    # tile_h=16 (fat shell splats); the outdoor scene ~2.6.
+    config = RasterizeConfig(pair_multiplier=float(os.environ.get("BENCH_PAIR_MULT", 5.0)))
 
     def make_fns(cam, cfg):
         @jax.jit
