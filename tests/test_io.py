@@ -1,5 +1,6 @@
 """Asset pipeline tests: codecs, chunked quantization round-trips, PLY/SPZ."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -238,3 +239,57 @@ class TestCameras:
 
         asset = create_asset(str(ply_path), quality="very_high")
         assert asset.cameras is None
+
+
+class TestKMeansQuality:
+    """Cluster-format quality tracking (reference preset comments record
+    measured PSNR per quality level, GaussianSplatAssetCreator.cs:195-219)
+    and the 3-attempt init parity (KMeansClustering.cs:508-570)."""
+
+    def _structured_sh(self, n=6000, protos=40, seed=0):
+        rng = np.random.default_rng(seed)
+        table = (0.5 * rng.normal(size=(protos, 45))).astype(np.float32)
+        idx = rng.integers(0, protos, n)
+        return (table[idx] + 0.02 * rng.normal(size=(n, 45))).astype(np.float32)
+
+    def test_cluster_psnr_improves_with_k(self):
+        from unitygaussiansplatting_tpu.io.kmeans import cluster_sh
+
+        sh = self._structured_sh().reshape(-1, 15, 3)
+        results = {}
+        for k in (16, 128):
+            table, idx = cluster_sh(sh, k=k, iters=64)
+            rec = np.asarray(table.reshape(k, 45))[np.asarray(idx)]
+            results[k] = psnr(rec, sh.reshape(-1, 45), 2.0)
+        assert results[128] > results[16] + 3.0, results
+        # 128 >= 40 protos: near-lossless up to the injected noise floor.
+        assert results[128] > 35.0, results
+
+    def test_arbitrary_k_not_multiple_of_chunk(self):
+        import jax
+
+        from unitygaussiansplatting_tpu.io.kmeans import assign_clusters, fit_kmeans
+
+        rng = np.random.default_rng(1)
+        data = rng.normal(size=(2000, 8)).astype(np.float32)
+        centers = fit_kmeans(
+            jnp.asarray(data), jax.random.PRNGKey(0), k=37, iters=32, k_chunk=16
+        )
+        assert centers.shape == (37, 8)
+        assert np.isfinite(np.asarray(centers)).all()
+        idx = assign_clusters(jnp.asarray(data), centers, k_chunk=16)
+        assert int(idx.max()) < 37 and int(idx.min()) >= 0
+
+    def test_init_attempts_no_worse_than_single(self):
+        import jax
+
+        from unitygaussiansplatting_tpu.io.kmeans import _chunked_argmin_dist, fit_kmeans
+
+        data = jnp.asarray(self._structured_sh(n=3000, seed=2))
+        def cost(centers):
+            _, d = _chunked_argmin_dist(data, centers, 64)
+            return float(jnp.sum(d))
+
+        c3 = fit_kmeans(data, jax.random.PRNGKey(5), k=64, iters=0, init_attempts=3)
+        c1 = fit_kmeans(data, jax.random.PRNGKey(5), k=64, iters=0, init_attempts=1)
+        assert cost(c3) <= cost(c1) * 1.0001

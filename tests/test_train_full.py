@@ -1,0 +1,94 @@
+"""Full training loop: multi-view + density control + orbax checkpoints.
+
+Round-1 VERDICT item 9: trainer, densify/prune/opacity-reset and
+pad_to_capacity composed into a demonstrated training run with durable
+checkpointing — the capability ladder of SURVEY.md §7 stages 4-5.
+"""
+
+import numpy as np
+import pytest
+
+from unitygaussiansplatting_tpu.models.camera import Camera
+from unitygaussiansplatting_tpu.models.renderer import render
+from unitygaussiansplatting_tpu.models.training_loop import (
+    TrainLoopConfig,
+    load_checkpoint,
+    psnr_of,
+    save_checkpoint,
+    train,
+)
+from unitygaussiansplatting_tpu.utils.config import RasterizeConfig, RenderSettings
+from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene
+
+SETTINGS = RenderSettings(sh_order=0)
+CONFIG = RasterizeConfig(tile_h=8, chunk_size=32, max_pairs_per_tile=1024)
+
+
+def _cams_targets(k=3, w=96, h=64):
+    truth = sphere_scene(n=500, seed=0).activate()
+    cams = []
+    for i in range(k):
+        a = 2 * np.pi * i / k
+        cams.append(
+            Camera.look_at(
+                [3.0 * np.sin(a), 0.5, -3.0 * np.cos(a)], [0, 0, 0], [0, 1, 0],
+                45.0, w, h,
+            )
+        )
+    targets = [np.asarray(render(truth, c, SETTINGS, CONFIG)[..., :3]) for c in cams]
+    return cams, targets
+
+
+def test_full_training_loop_improves_and_densifies(tmp_path):
+    cams, targets = _cams_targets()
+    import optax
+
+    init = sphere_scene(n=220, seed=9)
+    loop = TrainLoopConfig(
+        steps=120,
+        densify_every=50,
+        densify_from=30,
+        densify_until=80,
+        grad_threshold=5e-5,
+        capacity_step=256,
+        checkpoint_dir=str(tmp_path),
+        checkpoint_every=60,
+        ssim_weight=0.0,  # pure L1: cheap and monotone enough at toy scale
+    )
+    p0 = psnr_of(init, cams[0], targets[0], SETTINGS, CONFIG)
+    # Toy-scale learning rates (the 3DGS defaults are tuned for real scenes
+    # over tens of thousands of steps).
+    trained, hist = train(
+        init, cams, targets, loop, SETTINGS, CONFIG,
+        optimizer=optax.adam(8e-3),
+    )
+    p1 = psnr_of(trained, cams[0], targets[0], SETTINGS, CONFIG)
+
+    assert p1 > p0 + 0.5, f"PSNR did not improve: {p0:.2f} -> {p1:.2f}"
+    # Density control ran and changed the live count sensibly.
+    assert len(hist["counts"]) >= 2
+    counts = [c for _, c in hist["counts"]]
+    assert all(0 < c <= 10 * counts[0] for c in counts)
+    assert any(e[1] == "densify+prune" for e in hist["events"])
+    # Loss trend: end lower than start (averaged over a window).
+    losses = hist["losses"]
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+    # Checkpoints exist and restore losslessly.
+    restored, step = load_checkpoint(str(tmp_path / "ckpt_final"))
+    assert step == loop.steps
+    for k in trained.__dataclass_fields__:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(restored, k)), np.asarray(getattr(trained, k)), err_msg=k
+        )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    raw = sphere_scene(n=64, seed=3)
+    save_checkpoint(str(tmp_path / "c1"), raw, 7)
+    back, step = load_checkpoint(str(tmp_path / "c1"))
+    assert step == 7
+    for k in raw.__dataclass_fields__:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(back, k)), np.asarray(getattr(raw, k)), err_msg=k
+        )

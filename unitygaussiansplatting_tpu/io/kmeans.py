@@ -56,7 +56,9 @@ def _chunked_argmin_dist(x: jnp.ndarray, centers: jnp.ndarray, k_chunk: int):
     return best_i, best_d
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters", "batch", "k_chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "iters", "batch", "k_chunk", "init_attempts")
+)
 def fit_kmeans(
     data: jnp.ndarray,
     key: jnp.ndarray,
@@ -64,21 +66,35 @@ def fit_kmeans(
     iters: int = 256,
     batch: int = 8192,
     k_chunk: int = 4096,
+    init_attempts: int = 3,
 ) -> jnp.ndarray:
     """Mini-batch k-means; returns (k, D) centers.
 
-    Random-sample init (the TPU-friendly substitute for the reference's
-    sequential k-means++ seeding, which cannot vectorize at k=64k).
+    Like the reference, initialization draws ``init_attempts`` candidate
+    seedings and keeps the lowest-cost one (KMeansClustering.cs:508-570 runs
+    3 k-means++ attempts); the per-attempt seeding here is random-sample
+    scored on a probe batch — the TPU-friendly substitute for sequential
+    k-means++, which cannot vectorize at k=64k.  k need not be a multiple
+    of k_chunk: centers are padded with +inf sentinel rows that can never
+    win an argmin.
     """
     n, d = data.shape
     k_chunk = min(k_chunk, k)
-    if k % k_chunk != 0:
-        raise ValueError(f"k={k} must be divisible by k_chunk={k_chunk}")
+    kpad = -(-k // k_chunk) * k_chunk
 
-    key_init, key_iter = jax.random.split(key)
-    init_idx = jax.random.choice(key_init, n, shape=(k,), replace=n < k)
-    centers = data[init_idx]
-    counts = jnp.ones((k,), jnp.float32)
+    key_init, key_probe, key_iter = jax.random.split(key, 3)
+    probe = data[jax.random.randint(key_probe, (min(4096, n),), 0, n)]
+
+    def one_attempt(ak):
+        idx = jax.random.choice(ak, n, shape=(k,), replace=n < k)
+        cand = data[idx]
+        cand = jnp.pad(cand, ((0, kpad - k), (0, 0)), constant_values=1e17)
+        _, dmin = _chunked_argmin_dist(probe, cand, k_chunk)
+        return cand, jnp.sum(dmin)
+
+    cands, costs = jax.lax.map(one_attempt, jax.random.split(key_init, init_attempts))
+    centers = cands[jnp.argmin(costs)]
+    counts = jnp.ones((kpad,), jnp.float32)
 
     def step(carry, it_key):
         centers, counts = carry
@@ -87,8 +103,8 @@ def fit_kmeans(
         assign, _ = _chunked_argmin_dist(x, centers, k_chunk)
         # Per-center batch sums / counts.
         ones = jnp.ones((batch,), jnp.float32)
-        batch_counts = jax.ops.segment_sum(ones, assign, num_segments=k)
-        batch_sums = jax.ops.segment_sum(x, assign, num_segments=k)
+        batch_counts = jax.ops.segment_sum(ones, assign, num_segments=kpad)
+        batch_sums = jax.ops.segment_sum(x, assign, num_segments=kpad)
         new_counts = counts + batch_counts
         # Sculley update: c += (1/count) * (x - c) per sample, batched form.
         lr = jnp.where(batch_counts > 0, batch_counts / new_counts, 0.0)[:, None]
@@ -100,7 +116,7 @@ def fit_kmeans(
 
     keys = jax.random.split(key_iter, iters)
     (centers, _), _ = jax.lax.scan(step, (centers, counts), keys)
-    return centers
+    return centers[:k]
 
 
 @functools.partial(jax.jit, static_argnames=("k_chunk", "n_chunk"))
@@ -113,8 +129,13 @@ def assign_clusters(
     padded = jnp.pad(data, ((0, pad), (0, 0)))
     batches = padded.reshape(-1, n_chunk, d)
 
+    k = centers.shape[0]
+    kc = min(k_chunk, k)
+    kpad = -(-k // kc) * kc
+    centers_p = jnp.pad(centers, ((0, kpad - k), (0, 0)), constant_values=1e17)
+
     def body(_, x):
-        idx, _ = _chunked_argmin_dist(x, centers, min(k_chunk, centers.shape[0]))
+        idx, _ = _chunked_argmin_dist(x, centers_p, kc)
         return None, idx
 
     _, idxs = jax.lax.scan(body, None, batches)

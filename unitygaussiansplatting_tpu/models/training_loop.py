@@ -1,0 +1,180 @@
+"""Full 3DGS training loop: multi-view fit + adaptive density + checkpoints.
+
+Composes the pieces the reference (a viewer, SURVEY.md §0) never needed:
+multi-view photometric optimization (trainer.py), clone/split/prune/
+opacity-reset density control (densify.py, Kerbl et al. §5.2) and orbax
+checkpointing — the durable-training analog of the reference's asset
+persistence + hash-triggered hot reload (GaussianSplatRenderer.cs:641-658).
+
+Shape discipline: densification changes N, so the cloud is padded to a
+slowly-growing capacity (pad_to_capacity) and the jitted train step only
+recompiles when the capacity bucket grows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..utils.config import RasterizeConfig, RenderSettings
+from .camera import Camera
+from .densify import densify, pad_to_capacity, prune, reset_opacity
+from .gaussians import RawGaussians
+from .renderer import render
+from .trainer import default_optimizer, photometric_loss
+
+
+@dataclasses.dataclass
+class TrainLoopConfig:
+    steps: int = 400
+    ssim_weight: float = 0.2
+    # Density control (3DGS §5.2 schedule shape).
+    densify_every: int = 100
+    densify_from: int = 50
+    densify_until: int = 10**9
+    grad_threshold: float = 2e-4
+    scale_threshold: float = 0.01
+    prune_opacity: float = 0.005
+    opacity_reset_every: int = 0  # 0 = off (3DGS uses 3000)
+    capacity_step: int = 1024  # capacity rounds up to this granularity
+    capacity_headroom: float = 1.3
+    # Checkpointing.
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 0  # 0 = only final
+
+
+def _capacity_for(n: int, cfg: TrainLoopConfig) -> int:
+    want = int(n * cfg.capacity_headroom)
+    return max(-(-want // cfg.capacity_step) * cfg.capacity_step, cfg.capacity_step)
+
+
+def _make_step(optimizer, settings, config, backend, ssim_weight):
+    def loss_fn(raw: RawGaussians, camera: Camera, target):
+        rt = render(raw.activate(), camera, settings, config, backend)
+        img = rt[..., :3]  # black background
+        return photometric_loss(img, target, ssim_weight)
+
+    @jax.jit
+    def step(raw, opt_state, camera, target):
+        loss, grads = jax.value_and_grad(loss_fn)(raw, camera, target)
+        updates, opt_state = optimizer.update(grads, opt_state, raw)
+        new_raw = optax.apply_updates(raw, updates)
+        gnorm = jnp.linalg.norm(grads.means, axis=-1)  # densify statistic
+        return loss, new_raw, opt_state, gnorm
+
+    return step
+
+
+def save_checkpoint(path: str, raw: RawGaussians, step: int) -> None:
+    """Orbax checkpoint of the raw cloud + step counter."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    payload = {k: np.asarray(getattr(raw, k)) for k in raw.__dataclass_fields__}
+    payload["__step__"] = np.asarray(step, np.int64)
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path: str) -> tuple[RawGaussians, int]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(os.path.abspath(path))
+    step = int(payload.pop("__step__"))
+    return RawGaussians(**{k: jnp.asarray(v) for k, v in payload.items()}), step
+
+
+def train(
+    raw: RawGaussians,
+    cameras: list[Camera],
+    targets: list[jnp.ndarray],
+    loop: TrainLoopConfig = TrainLoopConfig(),
+    settings: RenderSettings = RenderSettings(sh_order=1),
+    config: RasterizeConfig = RasterizeConfig(),
+    backend: str = "jax",
+    optimizer: optax.GradientTransformation | None = None,
+) -> tuple[RawGaussians, dict]:
+    """Run the full loop; returns (trained_raw, history).
+
+    history: {"losses": [...], "counts": [(step, n), ...], "events": [...]}.
+    Targets are (H, W, 3) linear RGB, one per camera; views round-robin.
+    """
+    opt = optimizer or default_optimizer()
+    step_fn = _make_step(opt, settings, config, backend, loop.ssim_weight)
+
+    n_live = int(raw.num_splats)
+    capacity = _capacity_for(n_live, loop)
+    raw = pad_to_capacity(raw, capacity)
+    opt_state = opt.init(raw)
+    # Accumulated positional-gradient statistic over the densify window
+    # (mean |dL/dmu| as in 3DGS; padding slots keep zeros).
+    gacc = np.zeros(capacity, np.float64)
+    gcount = 0
+
+    history = {"losses": [], "counts": [(0, n_live)], "events": []}
+
+    for i in range(loop.steps):
+        v = i % len(cameras)
+        loss, raw, opt_state, gnorm = step_fn(raw, opt_state, cameras[v], targets[v])
+        history["losses"].append(float(loss))
+        gacc += np.asarray(gnorm, np.float64)
+        gcount += 1
+
+        do_densify = (
+            loop.densify_every > 0
+            and loop.densify_from <= i < loop.densify_until
+            and (i + 1) % loop.densify_every == 0
+        )
+        if do_densify:
+            # Density ops run on the padded cloud: padding slots have zero
+            # grads (never cloned) and ~0 opacity (pruned away).
+            mean_grad = (gacc / max(gcount, 1)).astype(np.float32)[:, None]
+            mean_grad = np.repeat(mean_grad, 3, axis=1) / np.sqrt(3.0)
+            new = densify(
+                raw,
+                mean_grad,
+                grad_threshold=loop.grad_threshold,
+                scale_threshold=loop.scale_threshold,
+                seed=i,
+            )
+            new = prune(new, min_opacity=loop.prune_opacity)
+            n_live = int(new.num_splats)
+            capacity = _capacity_for(n_live, loop)
+            raw = pad_to_capacity(new, capacity)
+            opt_state = opt.init(raw)  # fresh moments after topology change
+            gacc = np.zeros(capacity, np.float64)
+            gcount = 0
+            history["counts"].append((i + 1, n_live))
+            history["events"].append((i + 1, "densify+prune", n_live))
+
+        if (
+            loop.opacity_reset_every
+            and (i + 1) % loop.opacity_reset_every == 0
+        ):
+            raw = pad_to_capacity(reset_opacity(raw), capacity)
+            history["events"].append((i + 1, "opacity_reset", n_live))
+
+        if (
+            loop.checkpoint_dir
+            and loop.checkpoint_every
+            and (i + 1) % loop.checkpoint_every == 0
+        ):
+            save_checkpoint(
+                os.path.join(loop.checkpoint_dir, f"ckpt_{i + 1:06d}"), raw, i + 1
+            )
+
+    if loop.checkpoint_dir:
+        save_checkpoint(os.path.join(loop.checkpoint_dir, "ckpt_final"), raw, loop.steps)
+    return raw, history
+
+
+def psnr_of(raw: RawGaussians, camera: Camera, target, settings, config) -> float:
+    img = render(raw.activate(), camera, settings, config)[..., :3]
+    mse = float(jnp.mean((img - target) ** 2))
+    return 10.0 * float(np.log10(1.0 / max(mse, 1e-12)))
