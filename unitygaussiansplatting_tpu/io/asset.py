@@ -280,8 +280,6 @@ def encode_asset(
     output of kmeans.cluster_sh); the table is stored fp16
     (GaussianSplatAssetCreator.cs:1046-1051).
     """
-    if color_format == F.ColorFormat.BC7:
-        raise NotImplementedError("BC7 encoding is editor-GPU-specific; use Norm8x4")
     n = splats.count
     use_chunks = F.uses_chunks(pos_format, scale_format, color_format, sh_format)
     is_cluster = F.is_cluster_format(sh_format)
@@ -388,6 +386,11 @@ def encode_asset(
         t = _sat(tex)
         enc = np.clip(t * 255.5, 0, 255).astype(np.uint8)
         color_blob = enc.tobytes()
+    elif color_format == F.ColorFormat.BC7:
+        from .bc7 import encode_bc7
+
+        enc = np.clip(_sat(tex) * 255.5, 0, 255).astype(np.uint8)
+        color_blob = encode_bc7(enc.reshape(height, width, 4))
     else:
         raise ValueError(color_format)
 
@@ -467,6 +470,12 @@ def decode_asset(asset: GaussianSplatAssetData) -> InputSplats:
         tex = (
             np.frombuffer(asset.color_blob, np.uint8).reshape(width * height, 4) / 255.0
         )
+    elif asset.color_format == F.ColorFormat.BC7:
+        from .bc7 import decode_bc7
+
+        tex = decode_bc7(asset.color_blob, width, height).reshape(
+            width * height, 4
+        ) / 255.0
     else:
         raise NotImplementedError(f"color decode for {asset.color_format}")
     colrgba = np.asarray(tex[morton_texel_index(n)], dtype=np.float32)

@@ -138,10 +138,16 @@ def device_asset_from_asset(asset: GaussianSplatAssetData) -> DeviceAsset:
     elif asset.color_format == F.ColorFormat.Float32x4:
         tex = np.frombuffer(asset.color_blob, "<f4").reshape(width * height, 4)
         color_q = tex[tix].astype(np.float32)
+    elif asset.color_format == F.ColorFormat.BC7:
+        # No BC hardware on TPU: decode blocks on the host once; device
+        # holds the Norm8x4-equivalent words (same 4 B/splat as Norm8x4 --
+        # BC7's size win is an on-disk property here).
+        from .bc7 import decode_bc7
+
+        tex = decode_bc7(asset.color_blob, width, height).reshape(width * height, 4)
+        color_q = tex[tix].copy().view("<u4")[:, 0]
     else:
-        raise NotImplementedError(
-            f"{asset.color_format}: decode BC7 on the host first (io/bc7.py)"
-        )
+        raise NotImplementedError(asset.color_format)
 
     fmt = asset.sh_format
     if F.is_cluster_format(fmt):
@@ -262,7 +268,8 @@ def decode_device(da: DeviceAsset) -> Gaussians:
     rot = unpack_smallest3(rot_pq)
 
     cf = da.color_format
-    if cf == F.ColorFormat.Norm8x4:
+    # BC7 blocks were decoded to Norm8x4-equivalent words at upload.
+    if cf in (F.ColorFormat.Norm8x4, F.ColorFormat.BC7):
         u = da.color_q
         colrgba = jnp.stack(
             [

@@ -39,7 +39,7 @@ class ColorFormat(enum.IntEnum):
     Float32x4 = 0  # 16 B/px
     Float16x4 = 1  # 8 B/px
     Norm8x4 = 2  # 4 B/px
-    BC7 = 3  # 1 B/px (decode-only here; we never encode BC7)
+    BC7 = 3  # 1 B/px (full decode via io/bc7.py; encode = minimal mode-6)
 
 
 COLOR_SIZE = {
@@ -113,12 +113,13 @@ class QualityPreset:
 
 
 # Reference presets with measured ratio / PSNR
-# (GaussianSplatAssetCreator.cs:195-223).  VeryLow substitutes Norm8x4 for
-# BC7 on the encode side (BC7 is read-compatible but we do not encode it;
-# SURVEY.md §7 "hard parts" #5).
+# (GaussianSplatAssetCreator.cs:195-223).  VeryLow uses BC7 like the
+# reference (decode via the complete Pillow decoder, encode via the minimal
+# mode-6 encoder in io/bc7.py — below Unity's full-search quality but the
+# same 1 B/px size point and a valid, loadable format).
 QUALITY_PRESETS = {
     "very_low": QualityPreset(
-        VectorFormat.Norm11, VectorFormat.Norm6, ColorFormat.Norm8x4, SHFormat.Cluster4k
+        VectorFormat.Norm11, VectorFormat.Norm6, ColorFormat.BC7, SHFormat.Cluster4k
     ),
     "low": QualityPreset(
         VectorFormat.Norm11, VectorFormat.Norm6, ColorFormat.Norm8x4, SHFormat.Cluster16k
