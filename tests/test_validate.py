@@ -86,3 +86,68 @@ class TestDebugRender:
     def test_chunk_bounds(self, scene, camera):
         img = np.asarray(render_debug_chunk_bounds(scene, camera))
         assert img.max() > 0
+
+
+class TestCommittedGoldens:
+    """CI-style golden gate against *committed* images (round-1 weak #8).
+
+    The reference's validator renders three canonical scenes and gates on
+    diff-pixels <= 50 / PSNR >= 90 vs stored goldens
+    (GaussianSplatValidator.cs:27-135, docs/RefImages).  Its captured scenes
+    are not distributable, so the committed goldens here are the synthetic
+    sphere in the three render modes (main composite + the two debug modes,
+    the reference's visual fixtures, GaussianSplatRenderer.cs:217-224).
+    Renders are quantized to u8 like the goldens, so an unchanged renderer
+    matches exactly and any drift trips the reference gates.
+    """
+
+    @pytest.fixture(scope="class")
+    def fixture_scene(self):
+        from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene
+
+        g = sphere_scene(n=2000, seed=0).activate()
+        cam = Camera.look_at(
+            eye=[0, 0.5, -3.0], target=[0, 0, 0], up=[0, 1, 0],
+            fov_y_deg=45.0, width=256, height=160,
+        )
+        return g, cam
+
+    def _gate(self, img, name, tmp_path):
+        import os
+
+        golden_path = os.path.join(
+            os.path.dirname(__file__), "goldens", f"{name}.png"
+        )
+        # Same quantization as save_png (floor(v*255 + 0.5) / 255).
+        got8 = np.floor(np.clip(np.asarray(img[..., :3]), 0, 1) * 255.0 + 0.5) / 255.0
+        res = validate_image(
+            got8, load_png(golden_path), name=name, dump_folder=str(tmp_path)
+        )
+        assert res.passed, str(res)
+
+    def test_main_render_matches_committed_golden(self, fixture_scene, tmp_path):
+        import jax.numpy as jnp
+
+        from unitygaussiansplatting_tpu.models.renderer import render_over_background
+        from unitygaussiansplatting_tpu.utils.config import (
+            RasterizeConfig,
+            RenderSettings,
+        )
+
+        g, cam = fixture_scene
+        img = render_over_background(
+            g, cam, jnp.zeros(3), RenderSettings(sh_order=1), RasterizeConfig()
+        )
+        self._gate(img, "sphere_main", tmp_path)
+
+    def test_debug_points_matches_committed_golden(self, fixture_scene, tmp_path):
+        from unitygaussiansplatting_tpu.models.debug_render import render_debug_points
+
+        g, cam = fixture_scene
+        self._gate(render_debug_points(g, cam), "sphere_debug_points", tmp_path)
+
+    def test_debug_boxes_matches_committed_golden(self, fixture_scene, tmp_path):
+        from unitygaussiansplatting_tpu.models.debug_render import render_debug_boxes
+
+        g, cam = fixture_scene
+        self._gate(render_debug_boxes(g, cam), "sphere_debug_boxes", tmp_path)
