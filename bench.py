@@ -77,7 +77,12 @@ def main():
     )
     # Pair budget: the synthetic scene demands ~4.8 slots per splat at
     # tile_h=16 (fat shell splats); the outdoor scene ~2.6.
-    config = RasterizeConfig(pair_multiplier=float(os.environ.get("BENCH_PAIR_MULT", 5.0)))
+    # pack_axes_f16: benchmark perf knob (reference keeps axes f32 — see
+    # RasterizeConfig; ~95 ms/frame for a <=0.1% geometry quantization).
+    config = RasterizeConfig(
+        pair_multiplier=float(os.environ.get("BENCH_PAIR_MULT", 5.0)),
+        pack_axes_f16=True,
+    )
 
     def make_fns(cam, cfg):
         @jax.jit
@@ -140,7 +145,8 @@ def main():
             height=height,
         )
         real_cfg = RasterizeConfig(
-            pair_multiplier=float(os.environ.get("BENCH_REAL_PAIR_MULT", 3.0))
+            pair_multiplier=float(os.environ.get("BENCH_REAL_PAIR_MULT", 3.0)),
+            pack_axes_f16=True,
         )
         rf, rfb = make_fns(real_cam, real_cfg)
         real_fn = rfb if mode == "fwd_bwd" else rf

@@ -83,3 +83,18 @@ def test_overflow_truncation_is_reported_not_silent(scene, camera):
             assert bool(stats.overflowed), backend
     finally:
         rpal.INTERPRET = False
+
+
+def test_pack_axes_f16_matches_xla(scene, camera):
+    # With axes packing on, the fused path's f16 round-trip must equal the
+    # XLA path's (both quantize via quantize_view_fp16).
+    config = RasterizeConfig(pack_axes_f16=True)
+    proj = project_splats(scene, camera)
+    binning = bin_splats(proj, camera.width, camera.height, config)
+    ref = rasterize_tiles_jax(proj, binning, camera.width, camera.height, config)
+    rpal.INTERPRET = True
+    try:
+        got = rpal.rasterize_tiles_pallas(proj, camera.width, camera.height, config)
+    finally:
+        rpal.INTERPRET = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-6)

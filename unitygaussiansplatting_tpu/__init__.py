@@ -21,13 +21,16 @@ from .models.camera import Camera
 from .models.gaussians import Gaussians, RawGaussians, deactivate
 from .models.renderer import (
     GaussianSplatRenderer,
+    RenderStats,
+    check_overflow,
     render,
     render_multi,
     render_over_background,
+    render_with_stats,
 )
 from .utils.config import RasterizeConfig, RenderSettings
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Camera",
@@ -35,9 +38,12 @@ __all__ = [
     "RawGaussians",
     "deactivate",
     "GaussianSplatRenderer",
+    "RenderStats",
+    "check_overflow",
     "render",
     "render_multi",
     "render_over_background",
+    "render_with_stats",
     "RasterizeConfig",
     "RenderSettings",
     "__version__",

@@ -359,20 +359,30 @@ def bin_and_prepare(
     def row(i):
         return fields_gen[:, i, :].reshape(k)
 
-    if config.pack_color_f16:
-        # Colors+opacity were rounded to f16 above, so carrying their bits
-        # as two packed u32 payloads is lossless and saves two sort
-        # operands (~40 ms each at bicycle scale).
-        def h(x):
-            return jax.lax.bitcast_convert_type(
-                x.astype(jnp.float16), jnp.uint16
-            ).astype(jnp.uint32)
+    def h(x):
+        return jax.lax.bitcast_convert_type(
+            x.astype(jnp.float16), jnp.uint16
+        ).astype(jnp.uint32)
 
-        cu1 = h(row(6)) | (h(row(7)) << 16)
-        cu2 = h(row(8)) | (h(row(9)) << 16)
-        operands = (key, splat_gen) + tuple(row(i) for i in range(6)) + (cu1, cu2)
-    else:
-        operands = (key, splat_gen) + tuple(row(i) for i in range(10))
+    def unh(u):
+        return jax.lax.bitcast_convert_type(
+            u.astype(jnp.uint16), jnp.float16
+        ).astype(jnp.float32)
+
+    # Fields rounded to f16 above (quantize_view_fp16) ride the sort as
+    # packed u32 pairs losslessly — each dropped operand saves ~48 ms at
+    # bicycle scale.
+    geo_ops = (
+        (row(0), row(1), h(row(2)) | (h(row(3)) << 16), h(row(4)) | (h(row(5)) << 16))
+        if config.pack_axes_f16
+        else tuple(row(i) for i in range(6))
+    )
+    col_ops = (
+        (h(row(6)) | (h(row(7)) << 16), h(row(8)) | (h(row(9)) << 16))
+        if config.pack_color_f16
+        else tuple(row(i) for i in range(6, 10))
+    )
+    operands = (key, splat_gen) + geo_ops + col_ops
     sorted_ = jax.lax.sort(operands, num_keys=1, is_stable=True)
     key_s, splat_s = sorted_[0], sorted_[1]
 
@@ -381,23 +391,20 @@ def bin_and_prepare(
     )
     tile_starts = jnp.searchsorted(key_s, tile_bounds, side="left").astype(jnp.int32)
 
-    if config.pack_color_f16:
-        cu1_s, cu2_s = sorted_[8], sorted_[9]
-
-        def unh(u):
-            return jax.lax.bitcast_convert_type(
-                u.astype(jnp.uint16), jnp.float16
-            ).astype(jnp.float32)
-
-        color_rows = [
-            unh(cu1_s),
-            unh(cu1_s >> 16),
-            unh(cu2_s),
-            unh(cu2_s >> 16),
-        ]
-        field_rows = list(sorted_[2:8]) + color_rows
+    rest = list(sorted_[2:])
+    if config.pack_axes_f16:
+        cx_s, cy_s, au1, au2 = rest[:4]
+        geo_rows = [cx_s, cy_s, unh(au1), unh(au1 >> 16), unh(au2), unh(au2 >> 16)]
+        rest = rest[4:]
     else:
-        field_rows = list(sorted_[2:12])
+        geo_rows = rest[:6]
+        rest = rest[6:]
+    if config.pack_color_f16:
+        cu1_s, cu2_s = rest
+        color_rows = [unh(cu1_s), unh(cu1_s >> 16), unh(cu2_s), unh(cu2_s >> 16)]
+    else:
+        color_rows = rest
+    field_rows = geo_rows + color_rows
 
     g2 = k // config.chunk_size
     fields = jnp.concatenate(

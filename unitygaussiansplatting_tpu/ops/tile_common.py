@@ -28,12 +28,17 @@ def quantize_view_fp16(proj, config: RasterizeConfig):
     values (the fused pipeline then carries the f16 bits losslessly as
     packed u32 sort payloads).
     """
-    if not config.pack_color_f16:
-        return proj
-    return proj._replace(
-        color=proj.color.astype(jnp.float16).astype(jnp.float32),
-        opacity=proj.opacity.astype(jnp.float16).astype(jnp.float32),
-    )
+    if config.pack_color_f16:
+        proj = proj._replace(
+            color=proj.color.astype(jnp.float16).astype(jnp.float32),
+            opacity=proj.opacity.astype(jnp.float16).astype(jnp.float32),
+        )
+    if config.pack_axes_f16:
+        proj = proj._replace(
+            axis1=proj.axis1.astype(jnp.float16).astype(jnp.float32),
+            axis2=proj.axis2.astype(jnp.float16).astype(jnp.float32),
+        )
+    return proj
 
 
 def chunk_alphas(

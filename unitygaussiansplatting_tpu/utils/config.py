@@ -88,3 +88,11 @@ class RasterizeConfig:
     # False (with alpha_discard=0) for smooth-gradient finite-difference
     # work.
     pack_color_f16: bool = dataclasses.field(default=True, metadata={"static": True})
+    # Round screen-space quad axes through fp16 as well, letting the fused
+    # sort carry them as two packed u32 payloads (another ~95 ms/frame at
+    # bicycle scale).  The reference keeps axes f32 in SplatViewData
+    # (GaussianSplatting.hlsl:610-615), so this is a deviation: axis
+    # magnitudes are O(1..100) px and fp16 keeps ~3 decimal digits, a
+    # <=0.1% geometry perturbation.  Off by default; the benchmark enables
+    # it.  Applied consistently in all backends when on.
+    pack_axes_f16: bool = dataclasses.field(default=False, metadata={"static": True})
