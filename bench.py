@@ -34,6 +34,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 REFERENCE_MS = 6.8  # readme.md:84, RTX 3080 Ti
@@ -163,6 +164,38 @@ def main():
             }
         )
         result["extra_metrics"] = extras
+
+        # Device-resident compressed rendering (the reference's 1.3 GB-VRAM
+        # story, readme.md:83-84): render the headline scene straight from
+        # Medium-preset quantized blobs and report the footprint ratio.
+        from unitygaussiansplatting_tpu.io.asset import encode_asset
+        from unitygaussiansplatting_tpu.io.bridge import gaussians_to_input_splats
+        from unitygaussiansplatting_tpu.io.device_asset import device_asset_from_asset
+
+        asset = encode_asset(gaussians_to_input_splats(scene))
+        da = device_asset_from_asset(asset)
+        jax.block_until_ready(da.pos_q)
+        da_ms = time_frames(
+            jax.jit(
+                lambda a, s: render(
+                    a, camera, RenderSettings(sh_order=3, opacity_scale=s),
+                    config, backend=backend,
+                )
+            ),
+            da,
+            max(2, frames // 2),
+        )
+        float_bytes = sum(
+            np.prod(x.shape) * 4
+            for x in (scene.means, scene.rotations, scene.scales,
+                      scene.opacities, scene.base_color, scene.sh)
+        )
+        result["device_asset"] = {
+            "fwd_ms_from_compressed": round(da_ms, 3),
+            "device_bytes": da.device_bytes(),
+            "float_bytes": int(float_bytes),
+            "compression_on_device": round(float_bytes / da.device_bytes(), 2),
+        }
 
         # Per-phase forward breakdown + pair counters on the headline scene.
         prof = render_phases(scene, camera, RenderSettings(sh_order=3), config)

@@ -4,7 +4,7 @@ Round-1 VERDICT missing #3: BC7 decode for VeryLow asset compatibility
 (GaussianSplatAssetCreator.cs:903-932, GaussianSplatAsset.cs:51-68).
 Decode is Pillow's complete table-driven BC7 implementation; these tests
 pin it with blocks whose decode is hand-computable from the spec, verify
-the 4-bit weight table empirically, and round-trip the minimal mode-6
+the 4-bit weight table empirically, and round-trip the minimal mode-5
 encoder + a full VeryLow-preset asset.
 """
 

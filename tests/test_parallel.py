@@ -207,3 +207,17 @@ class TestCulledExchange:
             cap_frac=1.0,
         )(g_sharded)
         np.testing.assert_allclose(np.asarray(img_cl), np.asarray(single), atol=3e-5)
+
+
+def test_culled_exchange_odd_shard_size(camera):
+    # Regression: shard sizes not divisible by 8 used to crash (send cap
+    # rounded past the shard size -> shape mismatch in the compaction).
+    from unitygaussiansplatting_tpu.parallel.exchange import render_strips_culled_fn
+
+    g = sphere_scene(n=1000, seed=2).activate()  # 125 splats/device
+    mesh = make_mesh(jax.devices()[:8])
+    img, demand = render_strips_culled_fn(
+        mesh, camera, settings=SETTINGS, config=CONFIG, cap_frac=1.0
+    )(shard_gaussians(g, mesh))
+    single = render(g, camera, SETTINGS, CONFIG)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(single), atol=3e-5)

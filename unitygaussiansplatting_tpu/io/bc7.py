@@ -11,9 +11,11 @@ texture units.  TPUs have no BC hardware, so:
   classic way to ship a silently-wrong decoder, so we deliberately depend
   on the battle-tested one and pin it with hand-computed block vectors in
   tests);
-- **encode** is a minimal single-subset mode-6 encoder (RGBA 7.7.7.7 + P,
-  4-bit indices): per 4x4 block, endpoints = channel min/max, indices by
-  projection onto the endpoint segment.  Quality is below Unity's
+- **encode** is a minimal single-subset mode-5 encoder (RGB 7.7.7 x2 +
+  A 8 x2, independent 2-bit color and alpha index planes — the asset
+  texture's alpha channel is uncorrelated opacity, which would destroy a
+  shared-index mode): per 4x4 block, endpoints = channel min/max, indices
+  by projection onto the endpoint segment.  Quality is below Unity's
   full-search encoder but the produced blocks are valid BC7 anyone can
   load, and they reproduce the VeryLow preset's 1 B/px size point.
 """
@@ -43,43 +45,16 @@ def decode_bc7(data: bytes, width: int, height: int) -> np.ndarray:
     return np.asarray(img, np.uint8).reshape(height, width, 4)
 
 
-def _pack_block_mode6(e0: np.ndarray, e1: np.ndarray, idx: np.ndarray) -> bytes:
-    """One mode-6 block from 8-bit endpoints (4,) and 4-bit indices (16,)."""
-    bits = 0
-    pos = 7  # mode-6 marker: single 1 at bit 6
-    bits |= 1 << 6
-    # Endpoints: 7 MSBs per channel, interleaved e0/e1 per channel.
-    for c in range(4):
-        bits |= int(e0[c] >> 1) << pos
-        pos += 7
-        bits |= int(e1[c] >> 1) << pos
-        pos += 7
-    # P bits: shared LSB per endpoint (majority of the channel LSBs).
-    p0 = int(np.sum(e0 & 1) >= 2)
-    p1 = int(np.sum(e1 & 1) >= 2)
-    bits |= p0 << pos
-    pos += 1
-    bits |= p1 << pos
-    pos += 1
-    # Indices: anchor (pixel 0) has 3 bits, rest 4 bits.
-    bits |= int(idx[0]) << pos
-    pos += 3
-    for i in range(1, 16):
-        bits |= int(idx[i]) << pos
-        pos += 4
-    assert pos == 128
-    return int(bits).to_bytes(16, "little")
-
-
-def _pack_block_mode5(e0, e1, a0, a1, cidx, aidx) -> bytes:
-    """One mode-5 block: RGB 7.7.7 x2 + A 8 x2, two 2-bit index planes."""
+def _pack_block_mode5(e0q, e1q, a0, a1, cidx, aidx) -> bytes:
+    """One mode-5 block: stored 7-bit RGB endpoints x2 + A 8 x2, two 2-bit
+    index planes."""
     bits = 1 << 5  # mode-5 marker
     pos = 6
     pos += 2  # rotation = 0 (alpha stays alpha)
     for c in range(3):
-        bits |= int(e0[c] >> 1) << pos
+        bits |= int(e0q[c]) << pos
         pos += 7
-        bits |= int(e1[c] >> 1) << pos
+        bits |= int(e1q[c]) << pos
         pos += 7
     bits |= int(a0) << pos
     pos += 8
@@ -127,20 +102,20 @@ def encode_bc7(rgba: np.ndarray) -> bytes:
     )
     rgb = blocks4[..., :3]
     alpha = blocks4[..., 3:4]
-    e0 = rgb.min(axis=1)
-    e1 = rgb.max(axis=1)
-    # Mode-5 RGB endpoints have 7 bits (LSB dropped); round to the lattice
-    # so index fitting targets what the decoder reconstructs.
-    e0 = (e0 >> 1) << 1
-    e1 = ((e1 >> 1) << 1) | 1
+    e0q = rgb.min(axis=1) >> 1  # stored 7-bit endpoint values
+    e1q = rgb.max(axis=1) >> 1
+    # The decoder reconstructs a 7-bit endpoint as (v << 1) | (v >> 6)
+    # (bit replication); fit indices against that exact lattice.
+    e0 = (e0q << 1) | (e0q >> 6)
+    e1 = (e1q << 1) | (e1q >> 6)
     cidx = _fit_indices(rgb, e0, e1, WEIGHTS2)
     a0 = alpha.min(axis=1)[:, 0]
     a1 = alpha.max(axis=1)[:, 0]
     aidx = _fit_indices(alpha, a0[:, None], a1[:, None], WEIGHTS2)
     # Anchor constraints: index 0 of each plane has 1 bit (must be 0 or 1).
     cswap = cidx[:, 0] > 1
-    e0s = np.where(cswap[:, None], e1, e0)
-    e1s = np.where(cswap[:, None], e0, e1)
+    e0s = np.where(cswap[:, None], e1q, e0q)
+    e1s = np.where(cswap[:, None], e0q, e1q)
     cidxs = np.where(cswap[:, None], 3 - cidx, cidx)
     aswap = aidx[:, 0] > 1
     a0s = np.where(aswap, a1, a0)
@@ -153,6 +128,3 @@ def encode_bc7(rgba: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def dequant_endpoint_mode6(v7: int, p: int) -> int:
-    """Mode-6 endpoint dequant: 7 bits + P bit -> 8 bits ((v << 1) | p)."""
-    return ((v7 << 1) | p) & 0xFF

@@ -39,7 +39,7 @@ class ColorFormat(enum.IntEnum):
     Float32x4 = 0  # 16 B/px
     Float16x4 = 1  # 8 B/px
     Norm8x4 = 2  # 4 B/px
-    BC7 = 3  # 1 B/px (full decode via io/bc7.py; encode = minimal mode-6)
+    BC7 = 3  # 1 B/px (full decode via io/bc7.py; encode = minimal mode-5)
 
 
 COLOR_SIZE = {
@@ -115,7 +115,7 @@ class QualityPreset:
 # Reference presets with measured ratio / PSNR
 # (GaussianSplatAssetCreator.cs:195-223).  VeryLow uses BC7 like the
 # reference (decode via the complete Pillow decoder, encode via the minimal
-# mode-6 encoder in io/bc7.py — below Unity's full-search quality but the
+# mode-5 encoder in io/bc7.py — below Unity's full-search quality but the
 # same 1 B/px size point and a valid, loadable format).
 QUALITY_PRESETS = {
     "very_low": QualityPreset(

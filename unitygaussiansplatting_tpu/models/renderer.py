@@ -37,8 +37,10 @@ class RenderStats(NamedTuple):
     The analog of the reference's inspector live stats
     (GaussianSplatRendererEditor.cs:333-347) plus the failure signal the
     static pair budget introduces: ``num_pairs`` is the true (splat, tile)
-    pair demand; if it exceeds ``budget`` the deepest pairs were dropped and
-    the frame is missing far content — raise ``config.pair_multiplier``.
+    pair demand; if it exceeds ``budget``, pairs were dropped and the frame
+    is missing content (depth-major truncation on the XLA backend,
+    splat-id-major on the fused pallas backend) — raise
+    ``config.pair_multiplier``.
     """
 
     num_pairs: jnp.ndarray  # () int32 true pair demand this frame
@@ -53,7 +55,9 @@ def check_overflow(stats: RenderStats, action: str = "warn") -> bool:
         msg = (
             f"pair budget overflow: frame needed {int(stats.num_pairs)} "
             f"(splat, tile) pairs but the static budget is {stats.budget}; "
-            f"deepest splats were dropped. Raise config.pair_multiplier."
+            "pairs were dropped (depth-major on the XLA backend, "
+            "splat-id-major on the pallas backend). Raise "
+            "config.pair_multiplier."
         )
         if action == "raise":
             raise RuntimeError(msg)
@@ -129,10 +133,15 @@ def render_with_stats(
     if backend == "pallas":
         from ..ops.binning import tile_rects
         from ..ops.rasterize_pallas import rasterize_tiles_pallas_diff
+        from ..ops.tile_common import quantize_view_fp16
 
         # Slot demand = real pairs + one sentinel slot per dead splat (the
-        # fused pipeline's budget consumers); N-sized, nearly free.
-        *_, counts, valid = tile_rects(proj, camera.width, camera.height, config)
+        # fused pipeline's budget consumers); N-sized, nearly free.  Must
+        # see the same fp16-rounded opacity the pipeline's own bounds see,
+        # or edge-of-budget frames could truncate while stats say otherwise.
+        *_, counts, valid = tile_rects(
+            quantize_view_fp16(proj, config), camera.width, camera.height, config
+        )
         num_slots = jnp.sum(jnp.maximum(counts, 1), dtype=jnp.int32)
         stats = RenderStats(
             num_pairs=num_slots, budget=budget, overflowed=num_slots > budget

@@ -45,7 +45,13 @@ class TileBinning(NamedTuple):
     :func:`tile_grid` wherever needed.
     """
 
-    pair_rank: jnp.ndarray  # (K,) int32 depth-rank of the pair's splat (n = sentinel)
+    # (K,) int32 identifying the pair's splat, as an index into
+    # ``depth_order`` (n = sentinel).  bin_splats produces depth ranks with
+    # depth_order the rank->id permutation; the fused pipeline
+    # (pair_expand.bin_and_prepare) produces original splat ids with
+    # depth_order the identity — consumers must go through ``pair_splat``
+    # or ``depth_order`` rather than assuming one convention.
+    pair_rank: jnp.ndarray
     pair_tile: jnp.ndarray  # (K,) int32 tile id per pair (num_tiles = sentinel)
     depth_order: jnp.ndarray  # (N,) int32: depth rank -> original splat index
     rank_counts: jnp.ndarray  # (N,) int32: pairs generated per depth rank

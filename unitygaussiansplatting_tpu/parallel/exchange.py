@@ -83,7 +83,7 @@ def render_strips_culled_fn(
     def per_device(g: Gaussians) -> tuple[jnp.ndarray, jnp.ndarray]:
         proj = project_splats(g, camera, settings)
         n_l = proj.depth.shape[0]
-        cap = max(cdiv(int(n_l * cap_frac), 8) * 8, 8)
+        cap = min(max(cdiv(int(n_l * cap_frac), 8) * 8, 8), n_l)
 
         # Strip range per splat from the binner's own conservative bounds.
         _, y0t, _, nyt, counts, valid = tile_rects(

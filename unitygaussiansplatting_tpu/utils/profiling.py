@@ -23,9 +23,22 @@ from typing import Any
 import jax
 
 from ..ops import rasterize_pallas as _rp
-from ..ops.binning import bin_splats, pair_budget, tile_grid
+from ..ops.binning import pair_budget, tile_grid
 from ..ops.projection import project_splats
 from ..utils.config import RasterizeConfig, RenderSettings
+
+
+def trace_frame(fn, *args, logdir: str = "/tmp/tpu_splat_trace"):
+    """Capture a jax.profiler trace of one call (inspect with xprof/TensorBoard).
+
+    The named scopes inside the render path (splat_project / splat_bin /
+    splat_rasterize_*) label the ops in the trace — the analog of the
+    reference's ProfilerMarker GPU samples.
+    """
+    out = jax.block_until_ready(fn(*args))  # compile outside the trace
+    with jax.profiler.trace(logdir):
+        out = jax.block_until_ready(fn(*args))
+    return out, logdir
 
 
 def _time_call(fn, *args, reps: int = 3) -> tuple[float, Any]:
@@ -56,7 +69,7 @@ def render_phases(
 
     from ..ops.pair_expand import bin_and_prepare
 
-    interpret = bool(_rp.INTERPRET)
+    interpret = _rp._interp()
     phases: dict[str, float] = {}
     ms, proj = _time_call(
         jax.jit(lambda g: project_splats(g, camera, settings)), gaussians, reps=reps
