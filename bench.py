@@ -83,6 +83,7 @@ def main():
     config = RasterizeConfig(
         pair_multiplier=float(os.environ.get("BENCH_PAIR_MULT", 5.0)),
         pack_axes_f16=True,
+        pack_grads_bf16=True,
     )
 
     def make_fns(cam, cfg):
@@ -148,6 +149,7 @@ def main():
         real_cfg = RasterizeConfig(
             pair_multiplier=float(os.environ.get("BENCH_REAL_PAIR_MULT", 3.0)),
             pack_axes_f16=True,
+            pack_grads_bf16=True,
         )
         rf, rfb = make_fns(real_cam, real_cfg)
         real_fn = rfb if mode == "fwd_bwd" else rf

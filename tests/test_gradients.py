@@ -159,6 +159,40 @@ def test_pallas_backward_matches_jax(small_scene, camera):
         )
 
 
+def test_pack_grads_bf16_close_to_f32(small_scene, camera):
+    # The benchmark's pack_grads_bf16 rounds per-pair gradients through
+    # bfloat16 in the backward grouping sort; the per-splat sums must stay
+    # within bf16 rounding (~0.4% per pair, smaller after averaging) of the
+    # exact f32 path.
+    import unitygaussiansplatting_tpu.ops.rasterize_pallas as rpal
+    from unitygaussiansplatting_tpu.ops.projection import project_splats
+
+    def make_loss(cfg):
+        def loss(raw):
+            g = raw.activate()
+            proj = project_splats(g, camera, RenderSettings(sh_order=1))
+            img = rpal.rasterize_tiles_pallas_diff(
+                proj, camera.width, camera.height, cfg
+            )
+            w = jnp.asarray([0.3, 0.5, 0.2, 0.7])
+            return jnp.sum(img * w)
+
+        return loss
+
+    rpal.INTERPRET = True
+    try:
+        g32 = jax.grad(make_loss(RasterizeConfig()))(small_scene)
+        gbf = jax.grad(make_loss(RasterizeConfig(pack_grads_bf16=True)))(small_scene)
+    finally:
+        rpal.INTERPRET = False
+
+    for field in ("means", "log_scales", "opacity_logits", "sh0"):
+        a = np.asarray(getattr(g32, field))
+        b = np.asarray(getattr(gbf, field))
+        scale = max(np.abs(a).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 1e-2, field
+
+
 def test_pallas_bwd_kernel_matches_xla(small_scene, camera):
     # The hand-written Pallas backward kernel (interpret mode) must match
     # XLA autodiff of the tile path on every projected-splat gradient.

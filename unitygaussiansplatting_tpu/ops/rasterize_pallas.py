@@ -350,7 +350,8 @@ def _diff_bwd(width, height, config, res, g):
         )
         dpairs = steps_to_pair_gradients(dsteps, binning, num_tiles, config.chunk_size)
         dsplat = pair_gradients_to_splats(
-            dpairs, binning, binning.rank_counts, n, identity_order=True
+            dpairs, binning, binning.rank_counts, n, identity_order=True,
+            pack_bf16=getattr(config, "pack_grads_bf16", False),
         )
         d_proj = ProjectedSplats(
             depth=jnp.zeros_like(proj.depth),

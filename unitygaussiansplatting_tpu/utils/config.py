@@ -96,3 +96,12 @@ class RasterizeConfig:
     # <=0.1% geometry perturbation.  Off by default; the benchmark enables
     # it.  Applied consistently in all backends when on.
     pack_axes_f16: bool = dataclasses.field(default=False, metadata={"static": True})
+    # Round per-pair backward gradients through bfloat16 so the backward
+    # glue's grouping sort (pair_gradients_to_splats) carries them as 5
+    # packed u32 payloads instead of 10 f32 — each dropped operand saves
+    # ~48 ms at bicycle scale.  bfloat16 (not f16): per-pair gradients of a
+    # mean loss are ~1e-7, far below f16's subnormal floor, while bf16
+    # keeps the full f32 exponent range at ~0.4% relative rounding.  The
+    # per-splat reduction itself stays f32.  Off by default (strict
+    # cross-backend gradient agreement); the benchmark enables it.
+    pack_grads_bf16: bool = dataclasses.field(default=False, metadata={"static": True})
