@@ -14,10 +14,12 @@ gradients D = dL/dC (premultiplied rgb) and dA = dL/dA (coverage):
     dL/da_i = D . (T_i c_i - S_i/(1-a_i)) + dA * T_N/(1-a_i)
 
 where S_i is the suffix contribution after i and T_N the final
-transmittance.  S_i is computed *forward* as C_total - prefix_i using the
-saved forward output, so the kernel is a second forward walk with the same
-schedule, chunk math and VMEM-resident per-tile state as the forward kernel
-(state here: running prefix rgb + running transmittance).
+transmittance.  Only the projection D . S_i is needed, and it is computed
+*forward* as D . C_total - prefix_i(u) with u_i = w_i * (D . c_i), using
+the saved forward output — so the kernel is a second forward walk with the
+same schedule, chunk math and VMEM-resident per-tile state as the forward
+kernel (state here: running prefix of u + running transmittance), and a
+single in-chunk prefix sum.
 
 Outputs are per-*step* gradient blocks for the 10 view-data fields; the
 XLA-side glue (pair_gradients_to_splats) folds boundary-step duplicates
@@ -61,7 +63,7 @@ def _bwd_kernel(
     fwd_ref,  # (1, 4, P) forward output of this tile (premult rgb + coverage)
     dout_ref,  # (1, 4, P) upstream gradient for this tile
     dfields_ref,  # (1, 16, C) OUT: per-step field gradients
-    state_ref,  # (1, 4, P) OUT (revisited): prefix rgb + running transmittance
+    state_ref,  # (1, 4, P) OUT (revisited): row 0 prefix of u, row 3 transmittance
     *,
     config: RasterizeConfig,
     tiles_x: int,
@@ -145,20 +147,20 @@ def _bwd_kernel(
         d_b = dout_ref[0, 2, :]
         d_a = dout_ref[0, 3, :]
 
-        # Prefix contributions including i, per channel (C, P).
-        pref_r = state_ref[0, 0, :][None, :] + _cumsum_axis0(w * cr)
-        pref_g = state_ref[0, 1, :][None, :] + _cumsum_axis0(w * cg)
-        pref_b = state_ref[0, 2, :][None, :] + _cumsum_axis0(w * cb)
-        s_r = c_tot_r[None, :] - pref_r  # suffix after i
-        s_g = c_tot_g[None, :] - pref_g
-        s_b = c_tot_b[None, :] - pref_b
+        # dL/dalpha only consumes the suffix through D . S_i, so scan the
+        # single projected series u_i = w_i * (D . c_i) instead of three
+        # per-channel weighted-color series — one Hillis-Steele cumsum where
+        # the first version of this kernel ran three.
+        e = cr * d_r[None, :] + cg * d_g[None, :] + cb * d_b[None, :]  # D . c_i
+        pref_u = state_ref[0, 0, :][None, :] + _cumsum_axis0(w * e)
+        d_ctot = d_r * c_tot_r + d_g * c_tot_g + d_b * c_tot_b  # (P,) D . C_tot
+        d_suffix = d_ctot[None, :] - pref_u  # (C, P) D . S_i
 
         inv_om = 1.0 / jnp.maximum(one_minus, 1e-6)
         # dL/dalpha_i per pixel (C, P).
         dalpha = (
-            d_r[None, :] * (t_i * cr - s_r * inv_om)
-            + d_g[None, :] * (t_i * cg - s_g * inv_om)
-            + d_b[None, :] * (t_i * cb - s_b * inv_om)
+            t_i * e
+            - d_suffix * inv_om
             + d_a[None, :] * t_final[None, :] * inv_om
         )
         dalpha = jnp.where(keep & (~clipped), dalpha, 0.0)
@@ -184,11 +186,9 @@ def _bwd_kernel(
         dfields_ref[0, 4, :] = jnp.sum(gy * (dx - 2.0 * qy * a2x) / v2, axis=1)
         dfields_ref[0, 5, :] = jnp.sum(gy * (dy - 2.0 * qy * a2y) / v2, axis=1)
 
-        # Advance state: prefix rgb and transmittance after this chunk.
+        # Advance state: prefix of u and transmittance after this chunk.
         last = lambda a: jnp.reshape(jax.lax.slice_in_dim(a, c - 1, c, axis=0), (p,))
-        state_ref[0, 0, :] = last(pref_r)
-        state_ref[0, 1, :] = last(pref_g)
-        state_ref[0, 2, :] = last(pref_b)
+        state_ref[0, 0, :] = last(pref_u)
         state_ref[0, 3, :] = transmittance * last(cum)
 
 
@@ -289,19 +289,33 @@ def steps_to_pair_gradients(
         step_tile < num_tiles, first_block[t_safe] + step_rank, g
     )
 
-    # A block may be shared by any number of tiny tiles, so fold the (sorted
-    # by block) step sequence with a cumulative-sum difference: grads of
-    # block b = csum[last_step(b) + 1] - csum[first_step(b)].  Only the
-    # first 10 field rows carry gradients — drop the padding rows before
-    # the big scan/gather (-37% bytes).
+    # Within a tile the visited block strictly increases, so a block is
+    # revisited only across a tile transition — at most one "extra" step per
+    # transition, <= T + 1 in total.  Fold as: one row-take of each block's
+    # first step + a tiny compaction (sort of S keys) and scatter-add of the
+    # extra steps.  Replaces a K-sized cumsum + two big takes (~146 ms at
+    # bicycle scale) with ~K bytes of takes + an O(T) scatter.  Only the
+    # first 10 field rows carry gradients — drop the padding rows first.
     dfields_steps = dfields_steps[:, :10, :]
-    csum = jnp.cumsum(dfields_steps, axis=0)
-    csum = jnp.concatenate([jnp.zeros((1,) + csum.shape[1:], csum.dtype), csum], axis=0)
     blocks = jnp.arange(g, dtype=jnp.int32)
     first = jnp.searchsorted(block_of_step, blocks, side="left").astype(jnp.int32)
-    last = jnp.searchsorted(block_of_step, blocks, side="right").astype(jnp.int32)
-    dpairs = jnp.take(csum, last, axis=0) - jnp.take(csum, first, axis=0)
-    return dpairs  # (G, 10, C)
+    first_c = jnp.minimum(first, s - 1)
+    has_step = jnp.take(block_of_step, first_c) == blocks
+    base = jnp.where(
+        has_step[:, None, None], jnp.take(dfields_steps, first_c, axis=0), 0.0
+    )
+
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), block_of_step[:-1]])
+    is_extra = (block_of_step == prev) & (block_of_step < g)
+    ecap = min(num_tiles + 2, s)
+    keyv = jnp.where(is_extra, 0, 1).astype(jnp.int32)
+    k_sorted, pos_sorted = jax.lax.sort((keyv, iota_s), num_keys=1, is_stable=True)
+    pos = pos_sorted[:ecap]
+    live_e = k_sorted[:ecap] == 0
+    blk = jnp.where(live_e, jnp.take(block_of_step, pos), g)
+    rows = jnp.take(dfields_steps, pos, axis=0)  # (ecap, 10, C)
+    extra = jnp.zeros((g + 1,) + base.shape[1:], base.dtype).at[blk].add(rows)
+    return base + extra[:g]  # (G, 10, C)
 
 
 def pair_gradients_to_splats(
