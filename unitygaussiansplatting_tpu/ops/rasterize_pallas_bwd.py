@@ -298,7 +298,11 @@ def steps_to_pair_gradients(
     # first 10 field rows carry gradients — drop the padding rows first.
     dfields_steps = dfields_steps[:, :10, :]
     blocks = jnp.arange(g, dtype=jnp.int32)
-    first = jnp.searchsorted(block_of_step, blocks, side="left").astype(jnp.int32)
+    # method="sort": the scan (binary-search) lowering costs ~40 ms for G
+    # queries in an S-length table; the merge-by-sort lowering ~16 ms.
+    first = jnp.searchsorted(
+        block_of_step, blocks, side="left", method="sort"
+    ).astype(jnp.int32)
     first_c = jnp.minimum(first, s - 1)
     has_step = jnp.take(block_of_step, first_c) == blocks
     base = jnp.where(
@@ -379,9 +383,11 @@ def pair_gradients_to_splats(
         ),
         k,
     )  # (N + 1,)
-    sums = (
-        jnp.take(csum, offsets[1:], axis=1) - jnp.take(csum, offsets[:-1], axis=1)
-    )  # (F, N) by depth rank
+    # One N+1-index take + adjacent diff (offsets are shared between a run's
+    # end and the next run's start) — the two-take version pays the ~18 ns
+    # per minor-axis gather index twice (~220 ms at bicycle scale).
+    vals = jnp.take(csum, offsets, axis=1)  # (F, N + 1)
+    sums = vals[:, 1:] - vals[:, :-1]  # (F, N) by depth rank
 
     if identity_order:
         # Fused pipeline: generation order is splat-major, ranks ARE splat ids.

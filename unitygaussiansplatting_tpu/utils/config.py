@@ -59,8 +59,10 @@ class RasterizeConfig:
     # the color accumulation matmul.
     chunk_size: int = dataclasses.field(default=128, metadata={"static": True})
     # Pairs per step of the Pallas expansion kernel (ops/pair_expand.py);
-    # larger amortizes grid overhead, smaller shrinks its selection matmul.
-    expand_chunk: int = dataclasses.field(default=256, metadata={"static": True})
+    # larger amortizes grid overhead and halves the r0-searchsorted query
+    # count (512 measured 147 -> 113 ms over 256 at bicycle scale; 1024
+    # exceeds VMEM for the (2C, C) window compare).
+    expand_chunk: int = dataclasses.field(default=512, metadata={"static": True})
     # Static per-tile work cap for the XLA rasterizer path (it needs a static
     # trip count; the Pallas kernel loops to the true per-tile count instead).
     max_pairs_per_tile: int = dataclasses.field(default=8192, metadata={"static": True})
