@@ -59,6 +59,21 @@ ROW_DEPTH_KEY = 13
 ROW_R2 = 14
 
 
+def _f16_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """f16 bit pattern (as u32) of an f16-representable normal-or-zero f32.
+
+    Mosaic has no f32->f16 conversion; for values already rounded by
+    tile_common._f16_round (normal f16 or ±0 — no subnormals, no inf/nan)
+    the 16-bit pattern is a pure bit-field repack of the f32 word:
+    sign, exponent rebias 127->15, top 10 mantissa bits.
+    """
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    sign = (u >> 16) & jnp.uint32(0x8000)
+    exp = (u >> 23) & jnp.uint32(0xFF)
+    packed = sign | ((exp - 112) << 10) | ((u >> 13) & jnp.uint32(0x3FF))
+    return jnp.where(exp >= 113, packed, sign)
+
+
 def _expand_kernel(
     r0_ref,  # (G,) int32 scalar-prefetch: first splat of each step's window
     meta_ref,  # (1,) int32 scalar-prefetch: [num_pairs]
@@ -66,17 +81,18 @@ def _expand_kernel(
     tbl_hi_ref,  # (16, C) f32: next block
     bnd_lo_ref,  # (C, 1) int32: boundaries[b*C : (b+1)*C]
     bnd_hi_ref,  # (C, 1) int32
-    fields_ref,  # (1, 16, C) OUT: per-pair field rows
-    tile_ref,  # (1, 1, C) int32 OUT: tile id (num_tiles for dead slots)
-    splat_ref,  # (1, 1, C) int32 OUT: owning splat id (n for dead slots)
-    *,
+    *refs,  # OUT (1, 1, C) each: key u32, splat i32, then field operands
     num_splats: int,
     tiles_x: int,
     num_tiles: int,
     tile_w: int,
     tile_h: int,
+    db: int,
+    pack_axes: bool,
+    pack_color: bool,
 ):
-    c = tile_ref.shape[2]
+    key_ref, splat_ref = refs[0], refs[1]
+    c = key_ref.shape[2]
     i = pl.program_id(0)
     r0 = r0_ref[i]
     num_pairs = meta_ref[0]
@@ -133,15 +149,40 @@ def _expand_kernel(
     touches = ddx * ddx + ddy * ddy <= r2
 
     live = slots < num_pairs  # (1, C) bool
-    tile_ref[...] = jnp.where(live & touches, tile_f.astype(jnp.int32), num_tiles)[
-        None
-    ]
+    # Fused sort key, built in-kernel: (tile << db) | quantized depth —
+    # sentinel tile for dead or corner-culled slots (sorts past every real
+    # tile range; see binning.depth_key_bits).
+    tile_i = jnp.where(live & touches, tile_f.astype(jnp.int32), num_tiles)
+    dq_u = (
+        jnp.where(live, fields[ROW_DEPTH_KEY, :][None, :], 0.0)
+        .astype(jnp.int32)
+        .astype(jnp.uint32)
+    )
+    key_ref[...] = ((tile_i.astype(jnp.uint32) << db) | dq_u)[None]
     splat = win_first + count.astype(jnp.int32) - 1
     splat_ref[...] = jnp.where(live, splat, num_splats)[None]
-    fields_ref[...] = jnp.where(live, fields, 0.0)[None]
+
+    # Field operands, emitted sort-ready (f16 pairs packed into u32 when
+    # configured) so no K-sized field buffer or packing pass exists between
+    # this kernel and the sort.
+    fieldz = jnp.where(live, fields, 0.0)
+    row = lambda r: fieldz[r, :][None, :]
+    out = [row(0), row(1)]
+    if pack_axes:
+        out.append(_f16_bits(row(2)) | (_f16_bits(row(3)) << 16))
+        out.append(_f16_bits(row(4)) | (_f16_bits(row(5)) << 16))
+    else:
+        out.extend([row(2), row(3), row(4), row(5)])
+    if pack_color:
+        out.append(_f16_bits(row(6)) | (_f16_bits(row(7)) << 16))
+        out.append(_f16_bits(row(8)) | (_f16_bits(row(9)) << 16))
+    else:
+        out.extend([row(6), row(7), row(8), row(9)])
+    for ref, val in zip(refs[2:], out):
+        ref[...] = val[None]
 
 
-def expand_pairs(
+def expand_operands(
     table_t: jnp.ndarray,  # (16, NPAD + C) f32 per-splat field columns
     boundaries: jnp.ndarray,  # (NPAD + C,) int32 run starts, INT32_MAX padded
     num_pairs: jnp.ndarray,  # () int32
@@ -149,12 +190,18 @@ def expand_pairs(
     num_splats: int,
     tiles_x: int,
     num_tiles: int,
-    chunk: int = 256,
+    db: int,
+    chunk: int = 512,
     tile_w: int = 128,
     tile_h: int = 16,
+    pack_axes: bool = False,
+    pack_color: bool = False,
     interpret: bool = False,
 ):
-    """Run the expansion kernel; returns (fields (G, 16, C), tile (K,), splat (K,)).
+    """Run the expansion kernel; returns the (K,)-shaped sort operand tuple
+    ``(key u32, splat i32, cx, cy, <axes>, <colors>)`` — axes/colors are two
+    f16-packed u32 arrays each when the corresponding flag is set, else four
+    f32 arrays.
 
     ``NPAD`` is the splat-dim padding (multiple of C, > num_splats); both
     inputs carry one extra C-block so the window's hi block always exists.
@@ -163,7 +210,6 @@ def expand_pairs(
     g = k // c
     npad = table_t.shape[1] - c
     assert boundaries.shape[0] == npad + c, (boundaries.shape, npad, c)
-    nb = npad // c  # hi block index may be nb: the extra padding block
 
     # First splat of each step's window (XLA-side: G queries into the
     # boundary table — the cheap searchsorted direction).
@@ -182,6 +228,12 @@ def expand_pairs(
     def hi_block(i, r0_ref, meta_ref):
         return (r0_ref[i] // c + 1, 0)
 
+    n_field_ops = 2 + (2 if pack_axes else 4) + (2 if pack_color else 4)
+    field_dtypes = [jnp.float32, jnp.float32]
+    field_dtypes += [jnp.uint32] * 2 if pack_axes else [jnp.float32] * 4
+    field_dtypes += [jnp.uint32] * 2 if pack_color else [jnp.float32] * 4
+    out_block = lambda i, r, m: (i, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(g,),
@@ -191,14 +243,12 @@ def expand_pairs(
             pl.BlockSpec((c, 1), lo_block),
             pl.BlockSpec((c, 1), hi_block),
         ],
-        out_specs=(
-            pl.BlockSpec((1, _ROWS, c), lambda i, r, m: (i, 0, 0)),
-            pl.BlockSpec((1, 1, c), lambda i, r, m: (i, 0, 0)),
-            pl.BlockSpec((1, 1, c), lambda i, r, m: (i, 0, 0)),
+        out_specs=tuple(
+            pl.BlockSpec((1, 1, c), out_block) for _ in range(2 + n_field_ops)
         ),
     )
 
-    fields, tile, splat = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(
             _expand_kernel,
             num_splats=num_splats,
@@ -206,16 +256,18 @@ def expand_pairs(
             num_tiles=num_tiles,
             tile_w=tile_w,
             tile_h=tile_h,
+            db=db,
+            pack_axes=pack_axes,
+            pack_color=pack_color,
         ),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((g, _ROWS, c), jnp.float32),
-            jax.ShapeDtypeStruct((g, 1, c), jnp.int32),
-            jax.ShapeDtypeStruct((g, 1, c), jnp.int32),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((g, 1, c), dt)
+            for dt in [jnp.uint32, jnp.int32] + field_dtypes
         ),
         interpret=interpret,
     )(r0, meta, table_t, table_t, bnd2d, bnd2d)
-    return fields, tile.reshape(k), splat.reshape(k)
+    return tuple(o.reshape(k) for o in outs)
 
 
 def bin_and_prepare(
@@ -339,7 +391,12 @@ def bin_and_prepare(
     table = jnp.where(jnp.isfinite(table), table, 0.0)
     table_t = jnp.pad(table, ((0, 0), (0, npad + c - n)))
 
-    fields_gen, tile_gen, splat_gen = expand_pairs(
+    # The kernel emits sort-ready operands (key, splat, packed fields) —
+    # no K-sized field buffer or packing pass exists between it and the
+    # sort, and each f16-packed operand pair saves ~31 ms of sort time at
+    # bicycle scale (measured: stable sort costs 87 ms + ~31 ms/operand at
+    # 30.5M elements).
+    operands = expand_operands(
         table_t,
         boundaries,
         num_slots,
@@ -347,42 +404,20 @@ def bin_and_prepare(
         n,
         tiles_x,
         num_tiles,
+        db,
         chunk=c,
         tile_w=config.tile_w,
         tile_h=config.tile_h,
+        pack_axes=config.pack_axes_f16,
+        pack_color=config.pack_color_f16,
         interpret=interpret,
     )
-
-    dq_pair = fields_gen[:, ROW_DEPTH_KEY, :].reshape(k).astype(jnp.uint32)
-    key = (tile_gen.astype(jnp.uint32) << db) | dq_pair
-
-    def row(i):
-        return fields_gen[:, i, :].reshape(k)
-
-    def h(x):
-        return jax.lax.bitcast_convert_type(
-            x.astype(jnp.float16), jnp.uint16
-        ).astype(jnp.uint32)
 
     def unh(u):
         return jax.lax.bitcast_convert_type(
             u.astype(jnp.uint16), jnp.float16
         ).astype(jnp.float32)
 
-    # Fields rounded to f16 above (quantize_view_fp16) ride the sort as
-    # packed u32 pairs losslessly — each dropped operand saves ~48 ms at
-    # bicycle scale.
-    geo_ops = (
-        (row(0), row(1), h(row(2)) | (h(row(3)) << 16), h(row(4)) | (h(row(5)) << 16))
-        if config.pack_axes_f16
-        else tuple(row(i) for i in range(6))
-    )
-    col_ops = (
-        (h(row(6)) | (h(row(7)) << 16), h(row(8)) | (h(row(9)) << 16))
-        if config.pack_color_f16
-        else tuple(row(i) for i in range(6, 10))
-    )
-    operands = (key, splat_gen) + geo_ops + col_ops
     sorted_ = jax.lax.sort(operands, num_keys=1, is_stable=True)
     key_s, splat_s = sorted_[0], sorted_[1]
 

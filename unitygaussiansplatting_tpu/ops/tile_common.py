@@ -19,6 +19,18 @@ import jax.numpy as jnp
 from ..utils.config import RasterizeConfig
 
 
+def _f16_round(x: jnp.ndarray) -> jnp.ndarray:
+    """Round f32 through f16, flushing f16-subnormals (|x| < 2^-14) to zero.
+
+    The flush keeps the value set exactly {normal f16} ∪ {0}, so the
+    expansion kernel can re-derive the 16-bit pattern from the f32 bits with
+    integer ops alone (Mosaic has no f32->f16 conversion); sub-2^-14 alphas,
+    axis components and colors are visually nil (alpha_discard is 1/255).
+    """
+    r = x.astype(jnp.float16).astype(jnp.float32)
+    return jnp.where(jnp.abs(r) < 6.103515625e-05, 0.0, r)
+
+
 def quantize_view_fp16(proj, config: RasterizeConfig):
     """Round projected color+opacity through fp16 when configured.
 
@@ -30,13 +42,13 @@ def quantize_view_fp16(proj, config: RasterizeConfig):
     """
     if config.pack_color_f16:
         proj = proj._replace(
-            color=proj.color.astype(jnp.float16).astype(jnp.float32),
-            opacity=proj.opacity.astype(jnp.float16).astype(jnp.float32),
+            color=_f16_round(proj.color),
+            opacity=_f16_round(proj.opacity),
         )
     if config.pack_axes_f16:
         proj = proj._replace(
-            axis1=proj.axis1.astype(jnp.float16).astype(jnp.float32),
-            axis2=proj.axis2.astype(jnp.float16).astype(jnp.float32),
+            axis1=_f16_round(proj.axis1),
+            axis2=_f16_round(proj.axis2),
         )
     return proj
 
