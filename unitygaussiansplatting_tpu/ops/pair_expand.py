@@ -98,17 +98,28 @@ def _expand_kernel(
     num_pairs = meta_ref[0]
     base = i * c
 
-    # Window of 2C consecutive splats starting at block floor(r0 / C).
+    # The C slots of this step reference splats [r0, r0 + C): rebase the two
+    # fetched blocks to that exact window with a dynamic rotate + static
+    # slice (Mosaic has no dynamic_slice on arrays), so the boundary compare,
+    # the one-hot selection and the MXU gather-matmul all run at (C, C)
+    # instead of (2C, C) — this kernel is compute-bound on exactly those ops.
     win_first = (r0 // c) * c
-    bnd = jnp.concatenate([bnd_lo_ref[:, :], bnd_hi_ref[:, :]], axis=0)  # (2C, 1)
+    d = r0 - win_first  # in [0, C)
+    bnd2 = jnp.concatenate([bnd_lo_ref[:, :], bnd_hi_ref[:, :]], axis=0)  # (2C, 1)
+    bnd = jax.lax.slice_in_dim(
+        pltpu.roll(bnd2, 2 * c - d, axis=0), 0, c, axis=0
+    )  # (C, 1) = boundaries[r0 : r0 + C]
     slots = base + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)  # (1, C)
 
-    # Each slot's splat = last window entry whose run starts at or before it.
-    cmp = (bnd <= slots).astype(jnp.float32)  # (2C, C)
-    count = jnp.sum(cmp, axis=0, keepdims=True)  # (1, C) in [1, 2C]
+    # Each slot's splat = last window entry whose run starts at or before it:
+    # boundaries[< r0] satisfy <= slot by construction of r0 and
+    # boundaries[>= r0 + C] never do (every live run is non-empty), so the
+    # rebased count is exact: splat = r0 + count - 1.
+    cmp = (bnd <= slots).astype(jnp.float32)  # (C, C)
+    count = jnp.sum(cmp, axis=0, keepdims=True)  # (1, C) in [1, C]
     local = count - 1.0  # window-relative splat index, f32-exact
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * c, 1), 0).astype(jnp.float32)
-    sel = (sub_iota == local).astype(jnp.float32)  # (2C, C) one-hot
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0).astype(jnp.float32)
+    sel = (sub_iota == local).astype(jnp.float32)  # (C, C) one-hot
 
     # Run start of each slot's splat, relative to the block base.  Values
     # clamped into int16 range stay f32-exact; only the selected row (whose
@@ -118,7 +129,10 @@ def _expand_kernel(
     j = (slots - base).astype(jnp.float32) - run_start  # within-run index
 
     # All 16 field rows for every slot in one MXU matmul.
-    tbl = jnp.concatenate([tbl_lo_ref[:, :], tbl_hi_ref[:, :]], axis=1)  # (16, 2C)
+    tbl2 = jnp.concatenate([tbl_lo_ref[:, :], tbl_hi_ref[:, :]], axis=1)  # (16, 2C)
+    tbl = jax.lax.slice_in_dim(
+        pltpu.roll(tbl2, 2 * c - d, axis=1), 0, c, axis=1
+    )  # (16, C) = table[:, r0 : r0 + C]
     fields = jax.lax.dot_general(
         tbl, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (16, C)
@@ -159,7 +173,7 @@ def _expand_kernel(
         .astype(jnp.uint32)
     )
     key_ref[...] = ((tile_i.astype(jnp.uint32) << db) | dq_u)[None]
-    splat = win_first + count.astype(jnp.int32) - 1
+    splat = r0 + count.astype(jnp.int32) - 1
     splat_ref[...] = jnp.where(live, splat, num_splats)[None]
 
     # Field operands, emitted sort-ready (f16 pairs packed into u32 when
