@@ -290,6 +290,7 @@ def bin_and_prepare(
     height: int,
     config: RasterizeConfig = RasterizeConfig(),
     interpret: bool = False,
+    need_splat_ids: bool = True,
 ):
     """Fused binning + pair-field preparation for the Pallas rasterizer.
 
@@ -312,6 +313,11 @@ def bin_and_prepare(
     order is splat-major, so ``depth_order`` is the identity) and
     ``num_pairs`` counts slot demand including the one sentinel pair per
     dead splat.
+
+    ``need_splat_ids=False`` (inference path: the backward sorts are the
+    only consumers of ``pair_rank`` *values*) drops the splat id from the
+    K-sort's payloads — each payload operand costs ~31 ms at bicycle scale —
+    and returns the unsorted ids as a shape-only placeholder.
     """
     from .binning import (
         depth_key_bits,
@@ -432,15 +438,22 @@ def bin_and_prepare(
             u.astype(jnp.uint16), jnp.float16
         ).astype(jnp.float32)
 
-    sorted_ = jax.lax.sort(operands, num_keys=1, is_stable=True)
-    key_s, splat_s = sorted_[0], sorted_[1]
+    if need_splat_ids:
+        sorted_ = jax.lax.sort(operands, num_keys=1, is_stable=True)
+        key_s, splat_s = sorted_[0], sorted_[1]
+        rest = list(sorted_[2:])
+    else:
+        sorted_ = jax.lax.sort(
+            operands[:1] + operands[2:], num_keys=1, is_stable=True
+        )
+        key_s, splat_s = sorted_[0], operands[1]  # placeholder: shape only
+        rest = list(sorted_[1:])
 
     tile_bounds = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << db).astype(
         jnp.uint32
     )
     tile_starts = jnp.searchsorted(key_s, tile_bounds, side="left").astype(jnp.int32)
 
-    rest = list(sorted_[2:])
     if config.pack_axes_f16:
         cx_s, cy_s, au1, au2 = rest[:4]
         geo_rows = [cx_s, cy_s, unh(au1), unh(au1 >> 16), unh(au2), unh(au2 >> 16)]

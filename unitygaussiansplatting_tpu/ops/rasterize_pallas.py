@@ -286,7 +286,8 @@ def rasterize_tiles_pallas(
     tiles_x, tiles_y = tile_grid(width, height, config)
     num_tiles = tiles_x * tiles_y
     binning, fields, _ = bin_and_prepare(
-        proj, width, height, config, interpret=interpret or _interp()
+        proj, width, height, config, interpret=interpret or _interp(),
+        need_splat_ids=False,  # no backward here: skip the id sort payload
     )
     schedule = build_schedule(binning, num_tiles, config.chunk_size)
     return composite_pallas(fields, schedule, width, height, config, interpret)
@@ -352,6 +353,7 @@ def _diff_bwd(width, height, config, res, g):
         dsplat = pair_gradients_to_splats(
             dpairs, binning, binning.rank_counts, n, identity_order=True,
             pack_bf16=getattr(config, "pack_grads_bf16", False),
+            interpret=_interp(),
         )
         d_proj = ProjectedSplats(
             depth=jnp.zeros_like(proj.depth),

@@ -322,6 +322,133 @@ def steps_to_pair_gradients(
     return base + extra[:g]  # (G, 10, C)
 
 
+def _run_reduce_kernel(
+    r0_ref,  # (G2,) int32 scalar-prefetch: first splat of each block's window
+    bnd_lo_ref,  # (C, 1) int32: run-start boundaries block at r0 // C
+    bnd_hi_ref,  # (C, 1) int32: next block
+    g0_ref,  # (1, 1, C) u32 bf16-packed grad rows (0, 1)
+    g1_ref,  # rows (2, 3)
+    g2_ref,  # rows (4, 5)
+    g3_ref,  # rows (6, 7)
+    g4_ref,  # rows (8, 9)
+    out_lo_ref,  # (1, 16, C) f32 partial sums for splats [b*C, b*C + C)
+    out_hi_ref,  # (1, 16, C) f32 partial sums for splats [b*C + C, b*C + 2C)
+):
+    """Segment-reduce contiguous per-splat runs of pair gradients on the MXU.
+
+    The inverse of the expansion kernel's one-hot gather: each grid step
+    covers C pairs (sorted by splat id, so runs are contiguous and the C
+    pairs reference splats [r0, r0 + 2C) of the aligned window b = r0 // C),
+    builds the same boundary-count one-hot — transposed — and reduces all 16
+    grad rows for up to 2C splats in one (16, C) x (C, 2C) MXU matmul.
+    Successive steps of the same window revisit the same two output blocks
+    (VMEM-resident, like the compositing kernels' tile state), so runs
+    longer than C accumulate across steps without any scatter; the caller
+    folds the half-window offset with one shifted add.
+    """
+    c = bnd_lo_ref.shape[0]
+    i = pl.program_id(0)
+    r0 = r0_ref[i]
+    b = r0 // c
+    prev_b = r0_ref[jnp.maximum(i - 1, 0)] // c
+    is_first = jnp.logical_or(i == 0, b != prev_b)
+
+    @pl.when(is_first)
+    def _():
+        out_lo_ref[...] = jnp.zeros_like(out_lo_ref)
+        out_hi_ref[...] = jnp.zeros_like(out_hi_ref)
+
+    # bf16 -> f32 is a pure bit repack (bf16 is truncated f32): low half is
+    # the even row, high half the odd row (pair_gradients_to_splats packing).
+    rows = []
+    for ref in (g0_ref, g1_ref, g2_ref, g3_ref, g4_ref):
+        u = ref[0, :, :]  # (1, C) u32
+        rows.append(jax.lax.bitcast_convert_type(u << 16, jnp.float32))
+        rows.append(
+            jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+        )
+    rows.append(jnp.zeros((6, c), jnp.float32))
+    g_blk = jnp.concatenate(rows, axis=0)  # (16, C)
+
+    # Pair p (global slot base + p) belongs to splat win_first + count - 1
+    # with count = #boundaries <= slot within the 2C window (every run is
+    # non-empty, so the window covers all C slots' splats).
+    base = i * c
+    bnd2 = jnp.concatenate([bnd_lo_ref[:, :], bnd_hi_ref[:, :]], axis=0)  # (2C, 1)
+    slots = base + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    cmp = (bnd2 <= slots).astype(jnp.float32)  # (2C, C)
+    count = jnp.sum(cmp, axis=0, keepdims=True)  # (1, C) in [1, 2C]
+    local = count - 1.0
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * c, 1), 0).astype(jnp.float32)
+    sel = (sub_iota == local).astype(jnp.float32)  # (2C, C) one-hot
+
+    partials = jax.lax.dot_general(
+        g_blk, sel, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (16, 2C): per-splat sums of this block's pairs
+    out_lo_ref[...] += jax.lax.slice_in_dim(partials, 0, c, axis=1)[None]
+    out_hi_ref[...] += jax.lax.slice_in_dim(partials, c, 2 * c, axis=1)[None]
+
+
+def _run_reduce(
+    packed_rows,  # 5 x (K,) u32 bf16-packed grad rows, sorted by splat id
+    offsets_core: jnp.ndarray,  # (N + 1,) int32 run starts (clipped to K)
+    num_splats: int,
+    chunk: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-splat gradient sums (10, N) from splat-sorted packed pair grads."""
+    from .binning import cdiv
+
+    c = chunk
+    k = packed_rows[0].shape[0]
+    g2 = k // c
+    n = num_splats
+    npad = cdiv(n + 1, c) * c
+    nb = npad // c
+
+    boundaries = jnp.full((npad + c,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    boundaries = jax.lax.dynamic_update_slice(boundaries, offsets_core, (0,))
+    starts = jnp.arange(g2, dtype=jnp.int32) * c
+    r0 = jnp.searchsorted(boundaries, starts, side="right").astype(jnp.int32) - 1
+    r0 = jnp.clip(r0, 0, npad - 1)
+
+    bnd2d = boundaries.reshape(-1, 1)
+    lo_block = lambda i, r: (r[i] // c, 0)
+    hi_block = lambda i, r: (r[i] // c + 1, 0)
+    out_block = lambda i, r: (r[i] // c, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g2,),
+        in_specs=[
+            pl.BlockSpec((c, 1), lo_block),
+            pl.BlockSpec((c, 1), hi_block),
+        ]
+        + [pl.BlockSpec((1, 1, c), lambda i, r: (i, 0, 0)) for _ in range(5)],
+        out_specs=(
+            pl.BlockSpec((1, _FIELDS, c), out_block),
+            pl.BlockSpec((1, _FIELDS, c), out_block),
+        ),
+    )
+    out_lo, out_hi = pl.pallas_call(
+        _run_reduce_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, _FIELDS, c), jnp.float32),
+            jax.ShapeDtypeStruct((nb, _FIELDS, c), jnp.float32),
+        ),
+        interpret=interpret,
+    )(r0, bnd2d, bnd2d, *[u.reshape(g2, 1, c) for u in packed_rows])
+
+    lo = out_lo.transpose(1, 0, 2).reshape(_FIELDS, nb * c)
+    hi = out_hi.transpose(1, 0, 2).reshape(_FIELDS, nb * c)
+    # out_hi[b] holds splats [b*C + C, b*C + 2C): shift one block right.
+    total = lo + jnp.concatenate(
+        [jnp.zeros((_FIELDS, c), jnp.float32), hi[:, : (nb - 1) * c]], axis=1
+    )
+    return total[:10, :n]
+
+
 def pair_gradients_to_splats(
     dpairs: jnp.ndarray,  # (G, F, C) in tile-sorted pair order
     binning: TileBinning,
@@ -329,12 +456,17 @@ def pair_gradients_to_splats(
     num_splats: int,
     identity_order: bool = False,  # True when depth_order is the identity
     pack_bf16: bool = False,  # config.pack_grads_bf16
+    reduce_chunk: int = 512,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Reduce per-pair grads to per-splat grads (N, F), original splat order.
 
     Un-permutes the tile sort (one extra sort to invert the permutation),
-    then reduces the contiguous depth-expansion runs with cumsum differences
-    — no scatters.
+    then reduces the contiguous depth-expansion runs — with the Pallas
+    run-reduce kernel on the packed path (the XLA cumsum + (N+1)-column
+    take costs ~110 ms of minor-axis gather at bicycle scale), cumsum
+    differences otherwise.  No scatters anywhere (a segment_sum scatter-add
+    measured 286 ms *per column* at 24M pairs).
     """
     g, f, chunk = dpairs.shape
     k = g * chunk
@@ -359,6 +491,20 @@ def pair_gradients_to_splats(
         sorted_ = jax.lax.sort(
             (binning.pair_rank,) + packed, num_keys=1, is_stable=True
         )
+        if identity_order and f == 10 and k % reduce_chunk == 0:
+            offsets = jnp.minimum(
+                jnp.concatenate(
+                    [
+                        jnp.zeros((1,), jnp.int32),
+                        jnp.cumsum(counts_by_rank).astype(jnp.int32),
+                    ]
+                ),
+                k,
+            )
+            sums = _run_reduce(
+                sorted_[1:], offsets, num_splats, reduce_chunk, interpret=interpret
+            )  # (10, N) by splat id
+            return sums.T
         rows = []
         for u in sorted_[1:]:
             rows.append(ub(u))
