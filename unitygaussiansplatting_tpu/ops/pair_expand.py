@@ -133,8 +133,15 @@ def _expand_kernel(
     tbl = jax.lax.slice_in_dim(
         pltpu.roll(tbl2, 2 * c - d, axis=1), 0, c, axis=1
     )  # (16, C) = table[:, r0 : r0 + C]
+    # precision=HIGHEST is load-bearing: Mosaic's default f32 dot runs a
+    # single bf16 MXU pass (measured: selecting a 4M-valued f32 errs by up
+    # to 8191), which corrupts the integer-valued depth-key/rect rows and
+    # px-scale centers.  HIGHEST multi-pass splitting makes the one-hot
+    # selection bit-exact.
     fields = jax.lax.dot_general(
-        tbl, sel, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        tbl, sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (16, C)
 
     x0 = fields[ROW_X0, :][None, :]

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING, NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..utils.config import RenderSettings
@@ -64,10 +65,16 @@ def project_splats(
       kill_mask: optional (N,) bool; True kills a splat (deleted bits /
         cutouts — the reference forces clip w to 0, compute:204-220).
     """
+    # XLA's default f32 matmul on TPU is a single bf16 MXU pass; for the
+    # px-scale position transform that is a ~0.4%-relative (multi-pixel)
+    # error, so the tiny (N, 3) x (3, 3) transforms pin full precision.
+    hi = jax.lax.Precision.HIGHEST
     view = camera.view
     if model is not None:
         mv = view @ model
-        means_world = g.means @ model[:3, :3].T + model[:3, 3]
+        means_world = (
+            jnp.dot(g.means, model[:3, :3].T, precision=hi) + model[:3, 3]
+        )
         # Reference shades SH in object space via the world->object rotation
         # (compute:240-242); equivalent here to rotating the world-space view
         # direction by the inverse model rotation.
@@ -77,7 +84,7 @@ def project_splats(
         means_world = g.means
         inv_model_rot = None
 
-    view_pos = g.means @ mv[:3, :3].T + mv[:3, 3]
+    view_pos = jnp.dot(g.means, mv[:3, :3].T, precision=hi) + mv[:3, 3]
     depth = view_pos[..., 2]
     in_front = depth > 1e-8
     if kill_mask is not None:
@@ -106,7 +113,7 @@ def project_splats(
     cam_pos = camera.position
     view_dir = means_world - cam_pos
     if inv_model_rot is not None:
-        view_dir = view_dir @ inv_model_rot.T
+        view_dir = jnp.dot(view_dir, inv_model_rot.T, precision=hi)
     view_dir = view_dir / jnp.maximum(
         jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-12
     )

@@ -382,6 +382,9 @@ def _run_reduce_kernel(
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * c, 1), 0).astype(jnp.float32)
     sel = (sub_iota == local).astype(jnp.float32)  # (2C, C) one-hot
 
+    # Default (single-bf16-pass) MXU precision is exact here: the grad rows
+    # are bf16-representable by construction and sel is one-hot, so the
+    # input rounding is lossless and accumulation happens in f32.
     partials = jax.lax.dot_general(
         g_blk, sel, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (16, 2C): per-splat sums of this block's pairs

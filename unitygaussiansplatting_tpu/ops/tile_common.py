@@ -14,6 +14,7 @@ functions, so the two paths are bit-compatible by construction.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..utils.config import RasterizeConfig
@@ -99,7 +100,13 @@ def composite_chunk(
     cum = jnp.cumprod(one_minus, axis=0)  # inclusive prefix (C, P)
     excl = jnp.concatenate([jnp.ones_like(cum[:1]), cum[:-1]], axis=0)
     w = excl * alphas * transmittance[None, :]  # (C, P)
-    rgb = jnp.dot(w.T, colors, preferred_element_type=jnp.float32)  # (P, 3)
+    # Full precision: the TPU-default single-bf16-pass matmul rounds the
+    # blend weights (~0.4% relative), visibly diverging from the Pallas
+    # kernel's exact f32 VPU accumulation.
+    rgb = jnp.dot(
+        w.T, colors, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (P, 3)
     alpha_contrib = jnp.sum(w, axis=0)
     new_t = transmittance * cum[-1]
     return rgb, alpha_contrib, new_t
