@@ -76,12 +76,12 @@ def main():
         width=width,
         height=height,
     )
-    # Pair budget: the synthetic scene demands ~4.8 slots per splat at
-    # tile_h=16 (fat shell splats); the outdoor scene ~2.6.
+    # Pair budget: the synthetic scene demands ~3.85 slots per splat at the
+    # default 64x32 tiles (fat shell splats); the outdoor scene ~2.21.
     # pack_axes_f16: benchmark perf knob (reference keeps axes f32 — see
     # RasterizeConfig; ~95 ms/frame for a <=0.1% geometry quantization).
     config = RasterizeConfig(
-        pair_multiplier=float(os.environ.get("BENCH_PAIR_MULT", 5.0)),
+        pair_multiplier=float(os.environ.get("BENCH_PAIR_MULT", 4.25)),
         pack_axes_f16=True,
         pack_grads_bf16=True,
     )
@@ -147,7 +147,7 @@ def main():
             height=height,
         )
         real_cfg = RasterizeConfig(
-            pair_multiplier=float(os.environ.get("BENCH_REAL_PAIR_MULT", 3.0)),
+            pair_multiplier=float(os.environ.get("BENCH_REAL_PAIR_MULT", 2.5)),
             pack_axes_f16=True,
             pack_grads_bf16=True,
         )

@@ -14,8 +14,9 @@ CUDA implementation, restructured for static shapes:
    each tile, so no composite key is needed,
 4. per-tile contiguous ranges via ``searchsorted``.
 
-Tiles are ``tile_h x tile_w`` pixels with tile_w = 128 (the VPU lane width),
-so the per-tile compositing kernel runs at full vector utilization.
+Tiles are ``tile_h x tile_w`` pixels with ``tile_h * tile_w`` a multiple of
+128 (the kernels flatten tile pixels to lanes), so the per-tile compositing
+kernel runs at full vector utilization; 64x32 is the measured default.
 """
 
 from __future__ import annotations

@@ -177,8 +177,10 @@ def _kernel(
         dy = py - cy
         a1_sq = jnp.maximum(a1x * a1x + a1y * a1y, 1e-12)
         a2_sq = jnp.maximum(a2x * a2x + a2y * a2y, 1e-12)
-        qx = (dx * a1x + dy * a1y) / a1_sq
-        qy = (dx * a2x + dy * a2y) / a2_sq
+        # (C, 1)-scale divides + (C, P) FMAs — same term order as
+        # tile_common.chunk_alphas (backend agreement is bit-exact).
+        qx = dx * (a1x / a1_sq) + dy * (a1y / a1_sq)
+        qy = dx * (a2x / a2_sq) + dy * (a2y / a2_sq)
         power = -(qx * qx + qy * qy)
         alpha = jnp.exp(power) * op
         alpha = jnp.clip(alpha, 0.0, config.alpha_max)

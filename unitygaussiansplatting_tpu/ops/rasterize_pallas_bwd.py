@@ -55,6 +55,21 @@ def _cumsum_axis0(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _bf16_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """bf16 bit pattern (as u32) of an f32, round-to-nearest-even.
+
+    Mosaic-safe manual truncation (bf16 shares the f32 exponent layout, so
+    RNE is pure integer arithmetic on the f32 word); matches XLA's
+    f32->bf16 convert bit-for-bit on finite values.  ±0 is canonicalized to
+    +0 first — the packed-gradient fold relies on "lanes outside a step's
+    window pack to u32 zero" so disjoint-window step rows can be folded
+    with integer adds.
+    """
+    x = jnp.where(x == 0.0, 0.0, x)
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) >> 16
+
+
 def _bwd_kernel(
     step_tile_ref,  # (S,) int32, scalar-prefetch
     tile_starts_ref,  # (T + 1,) int32
@@ -62,12 +77,14 @@ def _bwd_kernel(
     fields_ref,  # (1, 16, C) pair view data for this step's block
     fwd_ref,  # (1, 4, P) forward output of this tile (premult rgb + coverage)
     dout_ref,  # (1, 4, P) upstream gradient for this tile
-    dfields_ref,  # (1, 16, C) OUT: per-step field gradients
+    dfields_ref,  # OUT per-step field gradients: (1, 16, C) f32, or
+    #              (1, 8, C) u32 bf16-pairs when pack_grads (rows 0-4 used)
     state_ref,  # (1, 4, P) OUT (revisited): row 0 prefix of u, row 3 transmittance
     *,
     config: RasterizeConfig,
     tiles_x: int,
     num_tiles: int,
+    pack_grads: bool,
 ):
     chunk = fields_ref.shape[2]
     i = pl.program_id(0)
@@ -115,8 +132,11 @@ def _bwd_kernel(
         dy = py - cy
         v1 = jnp.maximum(a1x * a1x + a1y * a1y, 1e-12)
         v2 = jnp.maximum(a2x * a2x + a2y * a2y, 1e-12)
-        qx = (dx * a1x + dy * a1y) / v1
-        qy = (dx * a2x + dy * a2y) / v2
+        inv1 = 1.0 / v1  # (C, 1): all (C, P)-scale divides become FMAs
+        inv2 = 1.0 / v2
+        # Same term order as the forward kernel (bit-exact alpha replay).
+        qx = dx * (a1x / v1) + dy * (a1y / v1)
+        qy = dx * (a2x / v2) + dy * (a2y / v2)
         power = -(qx * qx + qy * qy)
         expp = jnp.exp(power)
         alpha_raw = expp * op
@@ -165,26 +185,34 @@ def _bwd_kernel(
         )
         dalpha = jnp.where(keep & (~clipped), dalpha, 0.0)
 
-        # Color gradients: dL/dc_i = sum_px w_i * D.
-        dfields_ref[0, 6, :] = jnp.sum(w * d_r[None, :], axis=1)
-        dfields_ref[0, 7, :] = jnp.sum(w * d_g[None, :], axis=1)
-        dfields_ref[0, 8, :] = jnp.sum(w * d_b[None, :], axis=1)
-        # Opacity: dalpha/dop = exp(power).
-        dfields_ref[0, 9, :] = jnp.sum(dalpha * expp, axis=1)
-
         # Geometry chain: alpha -> (qx, qy) -> (center, axes).
         gx = dalpha * (-2.0 * qx) * alpha  # dL/dqx
         gy = dalpha * (-2.0 * qy) * alpha
-        dfields_ref[0, 0, :] = jnp.sum(
-            gx * (-a1x / v1) + gy * (-a2x / v2), axis=1
-        )  # d cx
-        dfields_ref[0, 1, :] = jnp.sum(
-            gx * (-a1y / v1) + gy * (-a2y / v2), axis=1
-        )  # d cy
-        dfields_ref[0, 2, :] = jnp.sum(gx * (dx - 2.0 * qx * a1x) / v1, axis=1)
-        dfields_ref[0, 3, :] = jnp.sum(gx * (dy - 2.0 * qx * a1y) / v1, axis=1)
-        dfields_ref[0, 4, :] = jnp.sum(gy * (dx - 2.0 * qy * a2x) / v2, axis=1)
-        dfields_ref[0, 5, :] = jnp.sum(gy * (dy - 2.0 * qy * a2y) / v2, axis=1)
+        rows = [
+            jnp.sum(gx * (-a1x * inv1) + gy * (-a2x * inv2), axis=1),  # d cx
+            jnp.sum(gx * (-a1y * inv1) + gy * (-a2y * inv2), axis=1),  # d cy
+            jnp.sum(gx * (dx - 2.0 * qx * a1x) * inv1, axis=1),  # d a1x
+            jnp.sum(gx * (dy - 2.0 * qx * a1y) * inv1, axis=1),  # d a1y
+            jnp.sum(gy * (dx - 2.0 * qy * a2x) * inv2, axis=1),  # d a2x
+            jnp.sum(gy * (dy - 2.0 * qy * a2y) * inv2, axis=1),  # d a2y
+            # Color gradients: dL/dc_i = sum_px w_i * D.
+            jnp.sum(w * d_r[None, :], axis=1),
+            jnp.sum(w * d_g[None, :], axis=1),
+            jnp.sum(w * d_b[None, :], axis=1),
+            # Opacity: dalpha/dop = exp(power).
+            jnp.sum(dalpha * expp, axis=1),
+        ]
+        if pack_grads:
+            # Emit bf16 pairs directly: halves the per-step output rows and
+            # hands pair_gradients_to_splats its sort payloads pre-packed
+            # (the XLA-side pack pass + the (F, K) transpose disappear).
+            for j in range(5):
+                dfields_ref[0, j, :] = _bf16_bits(rows[2 * j]) | (
+                    _bf16_bits(rows[2 * j + 1]) << 16
+                )
+        else:
+            for j, r in enumerate(rows):
+                dfields_ref[0, j, :] = r
 
         # Advance state: prefix of u and transmittance after this chunk.
         last = lambda a: jnp.reshape(jax.lax.slice_in_dim(a, c - 1, c, axis=0), (p,))
@@ -202,7 +230,8 @@ def composite_pallas_bwd(
     config: RasterizeConfig = RasterizeConfig(),
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run the backward kernel; returns per-step field grads (S, 16, C)."""
+    """Run the backward kernel; returns per-step field grads —
+    (S, 16, C) f32, or (S, 8, C) u32 bf16-pairs when config.pack_grads_bf16."""
     tiles_x, tiles_y = tile_grid(width, height, config)
     num_tiles = tiles_x * tiles_y
     th, tw = config.tile_h, config.tile_w
@@ -211,6 +240,8 @@ def composite_pallas_bwd(
     s = 2 * step_tile.shape[0]
     chunk = fields.shape[2]
     g = fields.shape[0]
+    pack_grads = bool(getattr(config, "pack_grads_bf16", False))
+    nf, odt = (8, jnp.uint32) if pack_grads else (_FIELDS, jnp.float32)
 
     def in_block(i, st, ts, fs):
         t = jnp.minimum(_unpack_tile(st, i), num_tiles - 1)
@@ -228,18 +259,19 @@ def composite_pallas_bwd(
             pl.BlockSpec((1, 4, p), tile_block),
         ],
         out_specs=(
-            pl.BlockSpec((1, _FIELDS, chunk), lambda i, st, ts, fs: (i, 0, 0)),
+            pl.BlockSpec((1, nf, chunk), lambda i, st, ts, fs: (i, 0, 0)),
             pl.BlockSpec((1, 4, p), tile_block),
         ),
     )
 
     dfields_steps, _state = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, config=config, tiles_x=tiles_x, num_tiles=num_tiles
+            _bwd_kernel, config=config, tiles_x=tiles_x, num_tiles=num_tiles,
+            pack_grads=pack_grads,
         ),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((s, _FIELDS, chunk), jnp.float32),
+            jax.ShapeDtypeStruct((s, nf, chunk), odt),
             jax.ShapeDtypeStruct((num_tiles + 1, 4, p), jnp.float32),
         ),
         interpret=interpret
@@ -295,8 +327,12 @@ def steps_to_pair_gradients(
     # first step + a tiny compaction (sort of S keys) and scatter-add of the
     # extra steps.  Replaces a K-sized cumsum + two big takes (~146 ms at
     # bicycle scale) with ~K bytes of takes + an O(T) scatter.  Only the
-    # first 10 field rows carry gradients — drop the padding rows first.
-    dfields_steps = dfields_steps[:, :10, :]
+    # first 10 field rows (5 packed) carry gradients — drop padding first.
+    # On the packed-u32 path the adds stay exact: steps sharing a block have
+    # disjoint lane windows and the kernel packs out-of-window lanes to u32
+    # zero (±0 canonicalized), so every add has a zero operand.
+    nf = 5 if dfields_steps.dtype == jnp.uint32 else 10
+    dfields_steps = dfields_steps[:, :nf, :]
     blocks = jnp.arange(g, dtype=jnp.int32)
     # method="sort": the scan (binary-search) lowering costs ~40 ms for G
     # queries in an S-length table; the merge-by-sort lowering ~16 ms.
@@ -305,9 +341,8 @@ def steps_to_pair_gradients(
     ).astype(jnp.int32)
     first_c = jnp.minimum(first, s - 1)
     has_step = jnp.take(block_of_step, first_c) == blocks
-    base = jnp.where(
-        has_step[:, None, None], jnp.take(dfields_steps, first_c, axis=0), 0.0
-    )
+    taken = jnp.take(dfields_steps, first_c, axis=0)
+    base = jnp.where(has_step[:, None, None], taken, jnp.zeros_like(taken))
 
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), block_of_step[:-1]])
     is_extra = (block_of_step == prev) & (block_of_step < g)
@@ -453,7 +488,8 @@ def _run_reduce(
 
 
 def pair_gradients_to_splats(
-    dpairs: jnp.ndarray,  # (G, F, C) in tile-sorted pair order
+    dpairs: jnp.ndarray,  # (G, F, C) f32 — or (G, F/2, C) u32 bf16-pairs,
+    #                       pre-packed by the backward kernel — tile-sorted
     binning: TileBinning,
     counts_by_rank: jnp.ndarray,  # (N,) pairs per depth rank
     num_splats: int,
@@ -471,9 +507,11 @@ def pair_gradients_to_splats(
     differences otherwise.  No scatters anywhere (a segment_sum scatter-add
     measured 286 ms *per column* at 24M pairs).
     """
-    g, f, chunk = dpairs.shape
+    pre_packed = dpairs.dtype == jnp.uint32
+    g, fr, chunk = dpairs.shape
+    f = 2 * fr if pre_packed else fr
     k = g * chunk
-    flat = dpairs.transpose(1, 0, 2).reshape(f, k)  # (F, K) pair-major
+    flat = dpairs.transpose(1, 0, 2).reshape(fr, k)  # row-major pair data
 
     # Group pair gradients by splat with ONE payload-carrying stable sort
     # (key = the pair's rank/splat id, the grad rows ride as payloads) —
@@ -481,16 +519,19 @@ def pair_gradients_to_splats(
     # with a (F, K) column gather (~8 ns per gather index on TPU).  With
     # pack_bf16, adjacent rows ride as one u32 (bf16 pair) — F/2 payloads
     # instead of F at ~0.4% per-pair rounding; the reduction stays f32.
-    if pack_bf16 and f % 2 == 0:
+    if pre_packed or (pack_bf16 and f % 2 == 0):
         hb = lambda x: jax.lax.bitcast_convert_type(
             x.astype(jnp.bfloat16), jnp.uint16
         ).astype(jnp.uint32)
         ub = lambda u: jax.lax.bitcast_convert_type(
             u.astype(jnp.uint16), jnp.bfloat16
         ).astype(jnp.float32)
-        packed = tuple(
-            hb(flat[2 * i]) | (hb(flat[2 * i + 1]) << 16) for i in range(f // 2)
-        )
+        if pre_packed:
+            packed = tuple(flat[i] for i in range(fr))
+        else:
+            packed = tuple(
+                hb(flat[2 * i]) | (hb(flat[2 * i + 1]) << 16) for i in range(f // 2)
+            )
         sorted_ = jax.lax.sort(
             (binning.pair_rank,) + packed, num_keys=1, is_stable=True
         )

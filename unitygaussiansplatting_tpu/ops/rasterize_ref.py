@@ -49,8 +49,11 @@ def splat_alpha_map(
     # Eigen-axis coordinates: axes are orthogonal with |axis|^2 = 2*lambda.
     a1_sq = jnp.maximum(axis1 @ axis1, 1e-12)
     a2_sq = jnp.maximum(axis2 @ axis2, 1e-12)
-    qx = (dx * axis1[0] + dy * axis1[1]) / a1_sq
-    qy = (dx * axis2[0] + dy * axis2[1]) / a2_sq
+    # Reciprocal-multiply form (axis/|axis|^2 divided once per splat, not per
+    # pixel) — must match tile_common.chunk_alphas and the Pallas kernels
+    # term-for-term so all backends stay bit-identical.
+    qx = dx * (axis1[0] / a1_sq) + dy * (axis1[1] / a1_sq)
+    qy = dx * (axis2[0] / a2_sq) + dy * (axis2[1] / a2_sq)
     # Reference quad coords span [-2, 2] and power = -(qx^2 + qy^2)
     # (RenderGaussianSplats.shader:54-55,81) = -0.5 d^T Sigma^-1 d.
     power = -(qx * qx + qy * qy)

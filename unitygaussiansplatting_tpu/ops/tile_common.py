@@ -72,8 +72,11 @@ def chunk_alphas(
     dy = py[None, :] - center[:, 1:2]
     a1_sq = jnp.maximum(jnp.sum(axis1 * axis1, axis=-1, keepdims=True), 1e-12)
     a2_sq = jnp.maximum(jnp.sum(axis2 * axis2, axis=-1, keepdims=True), 1e-12)
-    qx = (dx * axis1[:, 0:1] + dy * axis1[:, 1:2]) / a1_sq
-    qy = (dx * axis2[:, 0:1] + dy * axis2[:, 1:2]) / a2_sq
+    # Reciprocal-multiply form: the divide happens at per-splat (C, 1) scale,
+    # the (C, P) work is pure FMA — a VPU divide costs ~10x an FMA and the
+    # Pallas kernels use the identical term order (backends must agree).
+    qx = dx * (axis1[:, 0:1] / a1_sq) + dy * (axis1[:, 1:2] / a1_sq)
+    qy = dx * (axis2[:, 0:1] / a2_sq) + dy * (axis2[:, 1:2] / a2_sq)
     power = -(qx * qx + qy * qy)
     alpha = jnp.exp(power) * opacity[:, None]
     alpha = jnp.clip(alpha, 0.0, config.alpha_max)

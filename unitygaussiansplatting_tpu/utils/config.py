@@ -41,17 +41,20 @@ class RenderSettings:
 class RasterizeConfig:
     """Static tiling/budget configuration for the tile rasterizer.
 
-    TPU-native choices: tiles are ``tile_h x tile_w`` pixels with ``tile_w``
-    fixed at the 128-lane VPU width (the reference instead relies on hardware
+    TPU-native choices: tiles are ``tile_h x tile_w`` pixels, flattened to
+    ``tile_h * tile_w`` VPU lanes inside the kernels (any tile shape whose
+    area is a multiple of 128 works; the reference instead relies on hardware
     quad blending, RenderGaussianSplats.shader:10-12); ``pair_budget`` caps the
     (splat, tile) duplication list so every shape stays static under jit.
     """
 
-    # tile_h=16 measured fastest end-to-end at bicycle scale with the fused
-    # pipeline (pair count scales ~1/tile_h while per-pair pixel work scales
-    # ~tile_h; sort cost per pair pushes the optimum up from 8).
-    tile_h: int = dataclasses.field(default=16, metadata={"static": True})
-    tile_w: int = dataclasses.field(default=128, metadata={"static": True})
+    # 64x32 measured fastest end-to-end at bicycle scale with the fused
+    # pipeline: same 2048-px tile area as 128x16 (so identical per-pair pixel
+    # work), but the squarer aspect cuts ellipse-AABB tile overlap ~20%
+    # (pair demand 4.8 -> 3.85 slots/splat), which shrinks the K-sort and
+    # every pair-sized stage (fwd 632 -> 460 ms, fwd+bwd 1435 -> 992 ms).
+    tile_h: int = dataclasses.field(default=32, metadata={"static": True})
+    tile_w: int = dataclasses.field(default=64, metadata={"static": True})
     # Max (splat, tile) pairs as a multiple of N; pairs beyond the budget are
     # dropped far-field first (they sort after the cutoff).
     pair_multiplier: float = dataclasses.field(default=4.0, metadata={"static": True})
