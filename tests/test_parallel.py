@@ -221,3 +221,35 @@ def test_culled_exchange_odd_shard_size(camera):
     )(shard_gaussians(g, mesh))
     single = render(g, camera, SETTINGS, CONFIG)
     np.testing.assert_allclose(np.asarray(img), np.asarray(single), atol=3e-5)
+
+
+def test_multihost_helpers_single_process(camera):
+    # Single-process semantics of the multi-host plumbing: the pod mesh is
+    # the plain mesh, this process owns every row, and assembling "local"
+    # slices reproduces shard_gaussians + the same sharded render.
+    from unitygaussiansplatting_tpu.parallel import multihost
+
+    multihost.initialize()  # documented no-op single-process
+    assert jax.process_count() == 1
+
+    mesh = multihost.make_pod_mesh(jax.devices()[:8])
+    n = 1024
+    start, stop = multihost.process_splat_slice(n, mesh)
+    assert (start, stop) == (0, n)
+    with pytest.raises(ValueError):
+        multihost.process_splat_slice(n + 1, mesh)
+
+    g = sphere_scene(n=n, seed=3).activate()
+    local = jax.tree_util.tree_map(lambda x: np.asarray(x)[start:stop], g)
+    g_global = multihost.global_gaussians_from_local(local, mesh, n)
+    for got, want in zip(
+        jax.tree_util.tree_leaves(g_global), jax.tree_util.tree_leaves(g)
+    ):
+        assert got.shape[0] == n
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    single = render(g, camera, SETTINGS, CONFIG)
+    sharded = render_sharded_fn(mesh, camera, settings=SETTINGS, config=CONFIG)(
+        g_global
+    )
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
