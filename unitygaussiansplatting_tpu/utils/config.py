@@ -52,7 +52,7 @@ class RasterizeConfig:
     # pipeline: same 2048-px tile area as 128x16 (so identical per-pair pixel
     # work), but the squarer aspect cuts ellipse-AABB tile overlap ~20%
     # (pair demand 4.8 -> 3.85 slots/splat), which shrinks the K-sort and
-    # every pair-sized stage (fwd 632 -> 460 ms, fwd+bwd 1435 -> 992 ms).
+    # every pair-sized stage (fwd 632 -> 511 ms, fwd+bwd 1435 -> 1076 ms).
     tile_h: int = dataclasses.field(default=32, metadata={"static": True})
     tile_w: int = dataclasses.field(default=64, metadata={"static": True})
     # Max (splat, tile) pairs as a multiple of N; pairs beyond the budget are
