@@ -45,33 +45,34 @@ def decode_bc7(data: bytes, width: int, height: int) -> np.ndarray:
     return np.asarray(img, np.uint8).reshape(height, width, 4)
 
 
-def _pack_block_mode5(e0q, e1q, a0, a1, cidx, aidx) -> bytes:
-    """One mode-5 block: stored 7-bit RGB endpoints x2 + A 8 x2, two 2-bit
-    index planes."""
-    bits = 1 << 5  # mode-5 marker
-    pos = 6
-    pos += 2  # rotation = 0 (alpha stays alpha)
+def _pack_blocks_mode5(e0q, e1q, a0, a1, cidx, aidx) -> bytes:
+    """All mode-5 blocks at once: stored 7-bit RGB endpoints x2 + A 8 x2,
+    two 2-bit index planes.  Vectorized via a (B, 128) bit matrix +
+    np.packbits (the per-block big-int loop took minutes at 6M-splat
+    texture sizes)."""
+    b = e0q.shape[0]
+    bits = np.zeros((b, 128), np.uint8)
+
+    def put(pos: int, val: np.ndarray, n: int) -> int:
+        for k in range(n):
+            bits[:, pos + k] = (val >> k) & 1
+        return pos + n
+
+    bits[:, 5] = 1  # mode-5 marker (five 0 bits then a 1)
+    pos = 8  # rotation bits 6-7 = 0 (alpha stays alpha)
     for c in range(3):
-        bits |= int(e0q[c]) << pos
-        pos += 7
-        bits |= int(e1q[c]) << pos
-        pos += 7
-    bits |= int(a0) << pos
-    pos += 8
-    bits |= int(a1) << pos
-    pos += 8
-    bits |= int(cidx[0]) << pos  # anchor: 1 bit
-    pos += 1
+        pos = put(pos, e0q[:, c], 7)
+        pos = put(pos, e1q[:, c], 7)
+    pos = put(pos, a0, 8)
+    pos = put(pos, a1, 8)
+    pos = put(pos, cidx[:, 0], 1)  # anchor: 1 bit
     for i in range(1, 16):
-        bits |= int(cidx[i]) << pos
-        pos += 2
-    bits |= int(aidx[0]) << pos  # anchor: 1 bit
-    pos += 1
+        pos = put(pos, cidx[:, i], 2)
+    pos = put(pos, aidx[:, 0], 1)  # anchor: 1 bit
     for i in range(1, 16):
-        bits |= int(aidx[i]) << pos
-        pos += 2
+        pos = put(pos, aidx[:, i], 2)
     assert pos == 128
-    return int(bits).to_bytes(16, "little")
+    return np.packbits(bits, axis=1, bitorder="little").tobytes()
 
 
 def _fit_indices(blocks, e0, e1, weights):
@@ -82,6 +83,48 @@ def _fit_indices(blocks, e0, e1, weights):
     return np.argmin(
         np.abs(t[..., None] * 64.0 - weights[None, None]), axis=-1
     ).astype(np.int32)
+
+
+def _refine_endpoints(vals, e0, e1, weights, iters: int = 2):
+    """Alternate index-fit / weighted-least-squares endpoint refit.
+
+    The min/max bounding box is only the initial guess: given the indices it
+    induces, the optimal endpoints solve the per-block 2x2 normal equations
+    of ``c_i ~= (1 - w_i) e0 + w_i e1`` (all channels share the index, so
+    the 2x2 system is shared and only the RHS is per-channel).  Two
+    alternations recover most of the gap to exhaustive endpoint search for
+    smooth data.  Degenerate systems (single used index) keep the previous
+    endpoints.  ``vals``: (B, 16, D) float; returns float (B, D) endpoints.
+    """
+    vals = vals.astype(np.float32)
+    for _ in range(iters):
+        idx = _fit_indices(vals, e0, e1, weights)
+        w = weights[idx].astype(np.float32) / 64.0  # (B, 16)
+        x = 1.0 - w
+        sxx = np.sum(x * x, axis=-1)
+        syy = np.sum(w * w, axis=-1)
+        sxy = np.sum(x * w, axis=-1)
+        det = sxx * syy - sxy * sxy
+        bx = np.einsum("bi,bid->bd", x, vals)
+        by = np.einsum("bi,bid->bd", w, vals)
+        ok = (det > 1e-4)[:, None]
+        inv = 1.0 / np.maximum(det, 1e-12)[:, None]
+        n0 = (syy[:, None] * bx - sxy[:, None] * by) * inv
+        n1 = (sxx[:, None] * by - sxy[:, None] * bx) * inv
+        e0 = np.where(ok, np.clip(n0, 0.0, 255.0), e0)
+        e1 = np.where(ok, np.clip(n1, 0.0, 255.0), e1)
+    return e0, e1
+
+
+def _quantize7(e: np.ndarray) -> np.ndarray:
+    """Stored 7-bit value whose bit-replicated reconstruction
+    ``(v << 1) | (v >> 6)`` is nearest to the target float."""
+    t = np.clip(np.round(e), 0, 255).astype(np.int32)
+    v = t >> 1
+    cand = np.stack([v, np.minimum(v + 1, 127)], axis=-1)
+    rec = (cand << 1) | (cand >> 6)
+    pick = np.argmin(np.abs(rec - t[..., None]), axis=-1)
+    return np.take_along_axis(cand, pick[..., None], axis=-1)[..., 0]
 
 
 def encode_bc7(rgba: np.ndarray) -> bytes:
@@ -102,15 +145,26 @@ def encode_bc7(rgba: np.ndarray) -> bytes:
     )
     rgb = blocks4[..., :3]
     alpha = blocks4[..., 3:4]
-    e0q = rgb.min(axis=1) >> 1  # stored 7-bit endpoint values
-    e1q = rgb.max(axis=1) >> 1
+    # Bounding-box initial endpoints, then alternate index-fit /
+    # least-squares refit (shared index across RGB, so the refined segment
+    # aligns with the block's principal color direction).
+    e0f, e1f = _refine_endpoints(
+        rgb, rgb.min(axis=1).astype(np.float32),
+        rgb.max(axis=1).astype(np.float32), WEIGHTS2,
+    )
     # The decoder reconstructs a 7-bit endpoint as (v << 1) | (v >> 6)
-    # (bit replication); fit indices against that exact lattice.
+    # (bit replication); quantize onto and fit indices against that lattice.
+    e0q = _quantize7(e0f)
+    e1q = _quantize7(e1f)
     e0 = (e0q << 1) | (e0q >> 6)
     e1 = (e1q << 1) | (e1q >> 6)
     cidx = _fit_indices(rgb, e0, e1, WEIGHTS2)
-    a0 = alpha.min(axis=1)[:, 0]
-    a1 = alpha.max(axis=1)[:, 0]
+    a0f, a1f = _refine_endpoints(
+        alpha, alpha.min(axis=1).astype(np.float32),
+        alpha.max(axis=1).astype(np.float32), WEIGHTS2,
+    )
+    a0 = np.clip(np.round(a0f), 0, 255).astype(np.int32)[:, 0]
+    a1 = np.clip(np.round(a1f), 0, 255).astype(np.int32)[:, 0]
     aidx = _fit_indices(alpha, a0[:, None], a1[:, None], WEIGHTS2)
     # Anchor constraints: index 0 of each plane has 1 bit (must be 0 or 1).
     cswap = cidx[:, 0] > 1
@@ -122,9 +176,6 @@ def encode_bc7(rgba: np.ndarray) -> bytes:
     a1s = np.where(aswap, a0, a1)
     aidxs = np.where(aswap[:, None], 3 - aidx, aidx)
 
-    out = bytearray()
-    for b in range(blocks4.shape[0]):
-        out += _pack_block_mode5(e0s[b], e1s[b], a0s[b], a1s[b], cidxs[b], aidxs[b])
-    return bytes(out)
+    return _pack_blocks_mode5(e0s, e1s, a0s, a1s, cidxs, aidxs)
 
 
