@@ -236,3 +236,48 @@ def test_pallas_bwd_kernel_matches_xla(small_scene, camera):
         b = np.asarray(getattr(gp, field))
         scale = max(np.abs(a).max(), 1e-6)
         assert np.abs(a - b).max() / scale < 1e-4, field
+
+
+def test_run_reduce_mask_near_budget(small_scene, camera):
+    # Regression for the run-reduce validity mask: when pair demand lands
+    # within one expansion chunk of the budget (or overflows it), the
+    # Pallas reduction grid stops short of the last splat blocks; those
+    # splats must come back as exact zeros (their pairs were truncated),
+    # not whatever the unvisited output HBM held.
+    import unitygaussiansplatting_tpu.ops.rasterize_pallas as rpal
+    from unitygaussiansplatting_tpu.ops.binning import pair_budget
+    from unitygaussiansplatting_tpu.ops.pair_expand import bin_and_prepare
+    from unitygaussiansplatting_tpu.ops.projection import project_splats
+
+    g = small_scene.activate()
+    proj = project_splats(g, camera, RenderSettings(sh_order=1))
+    n = proj.depth.shape[0]
+
+    # Find a multiplier whose budget is within one expand chunk of demand.
+    cfg0 = RasterizeConfig(pack_grads_bf16=True)
+    _, _, num_real = bin_and_prepare(
+        proj, camera.width, camera.height, cfg0, interpret=True
+    )
+    demand = int(num_real) + 0  # live AABB pairs (sentinels add < n more)
+    mult = (demand + n) / n  # budget ~= demand + sentinel allowance
+    cfg = RasterizeConfig(pack_grads_bf16=True, pair_multiplier=mult)
+    k = pair_budget(n, cfg)
+    assert k - demand < k, "sanity"
+
+    def loss(raw):
+        gg = raw.activate()
+        p = project_splats(gg, camera, RenderSettings(sh_order=1))
+        img = rpal.rasterize_tiles_pallas_diff(p, camera.width, camera.height, cfg)
+        return jnp.sum(img * jnp.asarray([0.3, 0.5, 0.2, 0.7]))
+
+    rpal.INTERPRET = True
+    try:
+        grads = jax.grad(loss)(small_scene)
+    finally:
+        rpal.INTERPRET = False
+    for field in ("means", "log_scales", "opacity_logits", "sh0"):
+        arr = np.asarray(getattr(grads, field))
+        assert np.isfinite(arr).all(), field
+    # The scene fits the budget here, so gradients must be nonzero overall
+    # (the mask may only kill splats whose pairs were actually truncated).
+    assert np.abs(np.asarray(grads.means)).max() > 0

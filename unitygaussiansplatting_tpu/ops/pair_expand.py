@@ -213,8 +213,8 @@ def expand_operands(
     num_tiles: int,
     db: int,
     chunk: int = 512,
-    tile_w: int = 128,
-    tile_h: int = 16,
+    tile_w: int = 64,  # keep in sync with RasterizeConfig defaults
+    tile_h: int = 32,
     pack_axes: bool = False,
     pack_color: bool = False,
     interpret: bool = False,

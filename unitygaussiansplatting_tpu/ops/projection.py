@@ -71,7 +71,7 @@ def project_splats(
     hi = jax.lax.Precision.HIGHEST
     view = camera.view
     if model is not None:
-        mv = view @ model
+        mv = jnp.matmul(view, model, precision=hi)
         means_world = (
             jnp.dot(g.means, model[:3, :3].T, precision=hi) + model[:3, 3]
         )

@@ -21,12 +21,15 @@ same schedule, chunk math and VMEM-resident per-tile state as the forward
 kernel (state here: running prefix of u + running transmittance), and a
 single in-chunk prefix sum.
 
-Outputs are per-*step* gradient blocks for the 10 view-data fields; the
-XLA-side glue (pair_gradients_to_splats) folds boundary-step duplicates
-(disjoint lane windows, so a plain add), un-permutes the tile sort, and
-segment-reduces pair gradients to per-splat gradients with cumsum
-differences over the contiguous depth-expansion runs — no scatters anywhere
-(a segment_sum scatter-add measured 286 ms *per column* at 24M pairs).
+Outputs are per-*step* gradient blocks for the 10 view-data fields
+(bf16-packed into 5 u32 rows when config.pack_grads_bf16); the XLA-side
+glue folds boundary-step duplicates (steps_to_pair_gradients: per-block
+takes plus one sanctioned O(num_tiles) scatter-add of the few boundary
+extras — tiny, unlike the K-sized segment_sum scatter that measured 286 ms
+*per column* at 24M pairs), un-permutes the tile sort with one
+payload-carrying sort keyed on splat id, and segment-reduces the contiguous
+runs (Pallas run-reduce kernel on the packed path, cumsum differences
+otherwise).  Nothing pair-sized is ever scattered.
 """
 
 from __future__ import annotations
@@ -480,10 +483,19 @@ def _run_reduce(
 
     lo = out_lo.transpose(1, 0, 2).reshape(_FIELDS, nb * c)
     hi = out_hi.transpose(1, 0, 2).reshape(_FIELDS, nb * c)
-    # out_hi[b] holds splats [b*C + C, b*C + 2C): shift one block right.
+    # out_hi[b] holds splats [b*C + 2C): shift one block right.
     total = lo + jnp.concatenate(
         [jnp.zeros((_FIELDS, c), jnp.float32), hi[:, : (nb - 1) * c]], axis=1
     )
+    # The grid only visits output blocks up to r0[-1] // c — Pallas leaves
+    # HBM of never-visited out blocks UNDEFINED on real TPU (interpret mode
+    # zero-fills, hiding this).  Splats past the last visited window have no
+    # pairs inside the budget (their runs were clipped to K), so their true
+    # in-budget gradient is zero: mask every column from the first unvisited
+    # block on.  (Splats [vb*C - C, vb*C) accumulate in visited block
+    # vb-1's lo/hi halves, so nothing valid is masked.)
+    valid_cols = (r0[-1] // c + 1) * c
+    total = jnp.where(jnp.arange(nb * c, dtype=jnp.int32) < valid_cols, total, 0.0)
     return total[:10, :n]
 
 
@@ -504,8 +516,8 @@ def pair_gradients_to_splats(
     then reduces the contiguous depth-expansion runs — with the Pallas
     run-reduce kernel on the packed path (the XLA cumsum + (N+1)-column
     take costs ~110 ms of minor-axis gather at bicycle scale), cumsum
-    differences otherwise.  No scatters anywhere (a segment_sum scatter-add
-    measured 286 ms *per column* at 24M pairs).
+    differences otherwise.  Nothing pair-sized is scattered (a segment_sum
+    scatter-add measured 286 ms *per column* at 24M pairs).
     """
     pre_packed = dpairs.dtype == jnp.uint32
     g, fr, chunk = dpairs.shape

@@ -42,25 +42,56 @@ def initialize(
 ) -> None:
     """Start the multi-process JAX runtime (no-op if single-process).
 
-    Call once per host process, before the first jax operation.  With no
-    arguments, jax.distributed auto-detects the cluster from the TPU pod
-    environment (hostnames/metadata); pass explicit values for manual
-    clusters.  Safe to call twice (second call is ignored) and safe to call
-    in a plain single-process run with no arguments on non-pod hardware —
-    the auto-detectors finding nothing is treated as "single process".
+    Call once per host process, **before the first jax operation** (even
+    ``jax.devices()`` / ``jax.process_count()`` initialize the local backend,
+    after which distributed init is impossible).  With no arguments,
+    jax.distributed auto-detects the cluster from the TPU pod environment
+    (hostnames/metadata); pass explicit values for manual clusters.
+    Guarantees:
+
+    - idempotent (a second call is a no-op);
+    - a plain single-process run (no cluster env, no explicit args) is a
+      documented no-op, even if jax was already touched;
+    - on a real cluster — explicit args given, or the pod environment
+      detected — calling *after* the backend initialized raises instead of
+      silently stranding every host in its own single-process world.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    from jax._src import clusters as _clusters
+    from jax._src import distributed as _distributed
+    from jax._src import xla_bridge as _xla_bridge
+
+    if getattr(_distributed.global_state, "client", None) is not None:
+        return  # distributed system already initialized (idempotent call)
+    explicit = coordinator_address is not None or (num_processes or 0) > 1
+    if _xla_bridge.backends_are_initialized():
+        detected = False
+        if not explicit:
+            try:
+                addr, nproc, _, _ = (
+                    _clusters.ClusterEnv.auto_detect_unset_distributed_params(
+                        None, None, None, None, None, None
+                    )
+                )
+                detected = addr is not None and (nproc or 0) > 1
+            except Exception:
+                detected = False
+        if explicit or detected:
+            raise RuntimeError(
+                "multihost.initialize() on a cluster must run before any "
+                "JAX computation (including jax.devices()) — move it to "
+                "process start"
+            )
+        return  # single process, backend already up: nothing to do
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        # No cluster env and no explicit args (single process), or already
-        # initialized by the launcher — both mean "nothing to do".
-        if num_processes is not None and num_processes > 1:
+    except ValueError:
+        # Cluster auto-detection found nothing and no explicit coordinator
+        # was given: a plain single-process run.
+        if explicit:
             raise
 
 
