@@ -151,3 +151,32 @@ class TestCommittedGoldens:
 
         g, cam = fixture_scene
         self._gate(render_debug_boxes(g, cam), "sphere_debug_boxes", tmp_path)
+
+    def test_device_asset_render_matches_committed_golden(self, tmp_path):
+        # Pins the full compressed path — encode_asset -> DeviceAsset ->
+        # in-jit dequantization -> render — against a committed image, so a
+        # silent codec or device-decoder drift trips the reference gates
+        # even though encoder and decoder would still agree with each other.
+        import jax
+        import jax.numpy as jnp
+
+        from test_io import make_splats
+        from unitygaussiansplatting_tpu.io.asset import encode_asset
+        from unitygaussiansplatting_tpu.io.device_asset import device_asset_from_asset
+        from unitygaussiansplatting_tpu.models.renderer import render_over_background
+        from unitygaussiansplatting_tpu.utils.config import (
+            RasterizeConfig,
+            RenderSettings,
+        )
+
+        da = device_asset_from_asset(encode_asset(make_splats(n=1200, seed=7)))
+        cam = Camera.look_at(
+            eye=[0.0, 1.0, -14.0], target=[0, 0, 0], up=[0, 1, 0],
+            fov_y_deg=45.0, width=192, height=128,
+        )
+        img = jax.jit(
+            lambda a: render_over_background(
+                a, cam, jnp.zeros(3), RenderSettings(sh_order=3), RasterizeConfig()
+            )
+        )(da)
+        self._gate(img, "device_asset_medium", tmp_path)
