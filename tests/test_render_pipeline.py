@@ -267,3 +267,28 @@ class TestPhaseProfiling:
             assert k in p and p[k] >= 0.0
         assert out["num_pairs"] > 0
         assert not out["overflow"]
+
+
+class TestOddSizes:
+    # Image dims that are not tile multiples (the untile path clips the
+    # padded tile grid; the bench's own 1200x797 is odd-height).  All three
+    # backends must agree at the clipped size.
+    @pytest.mark.parametrize("wh", [(137, 93), (64, 32), (33, 17)])
+    def test_backends_agree_at_odd_sizes(self, scene, wh):
+        import unitygaussiansplatting_tpu.ops.rasterize_pallas as rpal
+
+        w, h = wh
+        cam = Camera.look_at(
+            eye=[0.0, 0.5, -3.0], target=[0, 0, 0], up=[0, 1, 0],
+            fov_y_deg=45.0, width=w, height=h,
+        )
+        ref = render(scene, cam, backend="reference")
+        got = render(scene, cam, backend="jax")
+        assert got.shape == (h, w, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+        rpal.INTERPRET = True
+        try:
+            pal = render(scene, cam, backend="pallas")
+        finally:
+            rpal.INTERPRET = False
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(got), atol=3e-5)
