@@ -292,3 +292,44 @@ class TestOddSizes:
         finally:
             rpal.INTERPRET = False
         np.testing.assert_allclose(np.asarray(pal), np.asarray(got), atol=3e-5)
+
+
+class TestSuggestPairMultiplier:
+    def test_suggestion_covers_demand(self, scene, camera):
+        from unitygaussiansplatting_tpu import (
+            RasterizeConfig,
+            render_with_stats,
+            suggest_pair_multiplier,
+        )
+
+        mult, worst = suggest_pair_multiplier(scene, [camera], slack=1.1)
+        assert worst > 0 and mult > 0
+        # A frame rendered with the suggested multiplier must not overflow,
+        # and the measured demand must equal the frame's own stats counter.
+        cfg = RasterizeConfig(pair_multiplier=mult)
+        _, stats = render_with_stats(scene, camera, config=cfg)
+        assert int(stats.num_pairs) <= int(stats.budget)
+        assert not bool(stats.overflowed)
+        assert int(stats.num_pairs) == worst
+
+    def test_train_auto_budget(self):
+        import jax.numpy as jnp
+
+        from unitygaussiansplatting_tpu.models.training_loop import (
+            TrainLoopConfig,
+            train,
+        )
+        from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene
+
+        raw = sphere_scene(n=256, seed=3)
+        cam = Camera.look_at(
+            eye=[0, 0.5, -3.0], target=[0, 0, 0], up=[0, 1, 0],
+            fov_y_deg=45.0, width=64, height=32,
+        )
+        target = jnp.zeros((32, 64, 3))
+        out, hist = train(
+            raw, [cam], [target],
+            loop=TrainLoopConfig(steps=2, densify_every=0, auto_budget_slack=1.2),
+            config=RasterizeConfig(tile_h=8, chunk_size=32, pair_multiplier=1.0),
+        )
+        assert len(hist["losses"]) == 2

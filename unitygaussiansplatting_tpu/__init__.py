@@ -27,6 +27,7 @@ from .models.renderer import (
     render_multi,
     render_over_background,
     render_with_stats,
+    suggest_pair_multiplier,
 )
 from .utils.config import RasterizeConfig, RenderSettings
 
@@ -44,6 +45,7 @@ __all__ = [
     "render_multi",
     "render_over_background",
     "render_with_stats",
+    "suggest_pair_multiplier",
     "RasterizeConfig",
     "RenderSettings",
     "__version__",

@@ -65,6 +65,53 @@ def check_overflow(stats: RenderStats, action: str = "warn") -> bool:
     return over
 
 
+def suggest_pair_multiplier(
+    gaussians,
+    cameras,
+    settings: RenderSettings = RenderSettings(),
+    config: RasterizeConfig = RasterizeConfig(),
+    slack: float = 1.2,
+    model: jnp.ndarray | None = None,
+) -> tuple[float, int]:
+    """Measure worst-case pair demand over ``cameras``; suggest a multiplier.
+
+    The static pair budget (``config.pair_multiplier`` x N) is the one knob
+    a user must size per scene; this measures the true demand — one jitted
+    N-sized pass per camera (projection + tile rects; no sort, no expansion,
+    so it costs a few ms even at bicycle scale) — and returns
+    ``(multiplier, max_demand)`` where ``multiplier`` covers the worst view
+    times ``slack`` (headroom for camera motion / training drift).  Counts
+    match the fused pipeline's slot accounting exactly (dead splats hold one
+    sentinel slot each, ops/pair_expand.bin_and_prepare).
+
+    Use at scene-load or train-setup time::
+
+        mult, _ = suggest_pair_multiplier(cloud, cams, settings, config)
+        config = dataclasses.replace(config, pair_multiplier=mult)
+    """
+    from ..ops.binning import tile_rects
+
+    if hasattr(gaussians, "pos_q"):  # DeviceAsset
+        from ..io.device_asset import decode_device
+
+        gaussians = decode_device(gaussians)
+    if isinstance(cameras, Camera):
+        cameras = [cameras]
+
+    def demand(g, camera):
+        proj = project_splats(g, camera, settings, model=model)
+        _, _, _, _, counts, valid = tile_rects(
+            proj, camera.width, camera.height, config
+        )
+        live = valid & (counts > 0)
+        # int32 is ample: demand is bounded by N x tiles-per-splat << 2^31.
+        return jnp.sum(jnp.where(live, counts, 1), dtype=jnp.int32)
+
+    n = int(gaussians.means.shape[0])
+    worst = max(int(jax.jit(demand)(gaussians, cam)) for cam in cameras)
+    return (worst * slack) / max(n, 1), worst
+
+
 def render(
     gaussians: Gaussians,
     camera: Camera,

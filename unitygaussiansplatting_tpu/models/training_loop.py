@@ -46,6 +46,11 @@ class TrainLoopConfig:
     # Checkpointing.
     checkpoint_dir: str | None = None
     checkpoint_every: int = 0  # 0 = only final
+    # Pair-budget auto-sizing: measure worst-view demand at setup and set
+    # config.pair_multiplier = demand/N x this slack (0 = keep config as-is).
+    # Slack absorbs densification drift; overflow is still surfaced per
+    # frame via RenderStats if the scene outgrows it.
+    auto_budget_slack: float = 0.0
 
 
 def _capacity_for(n: int, cfg: TrainLoopConfig) -> int:
@@ -105,6 +110,16 @@ def train(
     history: {"losses": [...], "counts": [(step, n), ...], "events": [...]}.
     Targets are (H, W, 3) linear RGB, one per camera; views round-robin.
     """
+    if loop.auto_budget_slack > 0:
+        from .renderer import suggest_pair_multiplier
+
+        mult, _ = suggest_pair_multiplier(
+            raw.activate(), cameras, settings, config, slack=loop.auto_budget_slack
+        )
+        # Never shrink below the caller's configured floor.
+        config = dataclasses.replace(
+            config, pair_multiplier=max(mult, config.pair_multiplier)
+        )
     opt = optimizer or default_optimizer()
     step_fn = _make_step(opt, settings, config, backend, loop.ssim_weight)
 
