@@ -333,3 +333,29 @@ class TestSuggestPairMultiplier:
             config=RasterizeConfig(tile_h=8, chunk_size=32, pair_multiplier=1.0),
         )
         assert len(hist["losses"]) == 2
+
+
+class TestTileShapes:
+    # The kernels flatten tile pixels to lanes, so any tile area that is a
+    # multiple of 128 must work; pin a few shapes around the 64x32 default.
+    @pytest.mark.parametrize("tw,th", [(128, 16), (32, 64), (16, 8), (64, 2)])
+    def test_backends_agree_across_tile_shapes(self, scene, camera, tw, th):
+        import dataclasses
+
+        import unitygaussiansplatting_tpu.ops.rasterize_pallas as rpal
+        from unitygaussiansplatting_tpu import suggest_pair_multiplier
+
+        cfg = RasterizeConfig(tile_w=tw, tile_h=th)
+        # Small tiles multiply pair demand; size the budget like a user
+        # would (otherwise truncation makes backends legitimately diverge).
+        mult, _ = suggest_pair_multiplier(scene, [camera], config=cfg, slack=1.1)
+        cfg = dataclasses.replace(cfg, pair_multiplier=max(mult, cfg.pair_multiplier))
+        ref = render(scene, camera, backend="reference", config=cfg)
+        got = render(scene, camera, backend="jax", config=cfg)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+        rpal.INTERPRET = True
+        try:
+            pal = render(scene, camera, backend="pallas", config=cfg)
+        finally:
+            rpal.INTERPRET = False
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(got), atol=3e-5)
