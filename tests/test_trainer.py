@@ -124,3 +124,21 @@ def test_train_step_pallas_backend(camera):
         rpal.INTERPRET = False
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_official_optimizer_trains():
+    import jax.numpy as jnp
+
+    from unitygaussiansplatting_tpu.models.camera import Camera
+    from unitygaussiansplatting_tpu.models.trainer import fit, official_3dgs_optimizer
+    from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene
+
+    raw = sphere_scene(n=128, seed=4)
+    cam = Camera.look_at(
+        eye=[0, 0.5, -3.0], target=[0, 0, 0], up=[0, 1, 0],
+        fov_y_deg=45.0, width=64, height=32,
+    )
+    target = jnp.full((32, 64, 3), 0.25)
+    opt = official_3dgs_optimizer(scene_extent=2.0, total_steps=40)
+    _, losses = fit(raw, cam, target, steps=40, optimizer=opt)
+    assert losses[-1] < losses[0]

@@ -145,6 +145,54 @@ def default_optimizer(lr_means: float = 1.6e-4, lr_rest: float = 2.5e-3):
     )
 
 
+def official_3dgs_optimizer(
+    scene_extent: float = 1.0,
+    total_steps: int = 30_000,
+    means_lr_init: float = 1.6e-4,
+    means_lr_final: float = 1.6e-6,
+):
+    """The official 3DGS per-parameter Adam recipe (Kerbl et al. §5 /
+    released training defaults), in this parameterization:
+
+    - means: lr scaled by scene extent, exponential decay init -> final
+      over ``total_steps`` (the official position_lr schedule),
+    - sh0 (DC color): 2.5e-3; higher-order SH: 2.5e-3 / 20,
+    - opacity logits: 0.05, log-scales: 5e-3, rotations: 1e-3,
+    - Adam eps 1e-15 (the official code's optimizer epsilon).
+
+    ``scene_extent`` is the camera-extent radius the official trainer
+    multiplies into position lr; pass the scene's bounding radius.
+    """
+    means_lr = optax.exponential_decay(
+        init_value=means_lr_init * scene_extent,
+        transition_steps=max(total_steps, 1),
+        decay_rate=means_lr_final / means_lr_init,
+    )
+
+    def label_fn(raw):
+        return RawGaussians(
+            means="means",
+            rotations_wxyz="rotations",
+            log_scales="scales",
+            opacity_logits="opacity",
+            sh0="sh0",
+            sh="sh_rest",
+        )
+
+    adam = lambda lr: optax.adam(lr, eps=1e-15)
+    return optax.multi_transform(
+        {
+            "means": adam(means_lr),
+            "rotations": adam(1e-3),
+            "scales": adam(5e-3),
+            "opacity": adam(5e-2),
+            "sh0": adam(2.5e-3),
+            "sh_rest": adam(2.5e-3 / 20.0),
+        },
+        label_fn,
+    )
+
+
 def fit(
     raw: RawGaussians,
     camera: Camera,
