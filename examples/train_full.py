@@ -55,9 +55,15 @@ def main(out_dir: str = "/tmp/tpu_splat_train"):
         densify_from=40,
         checkpoint_dir=out_dir,
         checkpoint_every=100,
+        auto_budget_slack=1.3,  # size the pair budget from measured demand
     )
+    # The released 3DGS per-parameter lr recipe, scaled to this scene.
+    from unitygaussiansplatting_tpu.models.trainer import official_3dgs_optimizer
+
+    extent = float(np.linalg.norm(np.asarray(truth.means), axis=1).max())
+    opt = official_3dgs_optimizer(scene_extent=extent, total_steps=loop.steps)
     p0 = psnr_of(init, cams[0], targets[0], settings, config)
-    trained, hist = train(init, cams, targets, loop, settings, config)
+    trained, hist = train(init, cams, targets, loop, settings, config, optimizer=opt)
     p1 = psnr_of(trained, cams[0], targets[0], settings, config)
     print(f"PSNR view0: {p0:.2f} -> {p1:.2f} dB")
     print("splat counts:", hist["counts"])

@@ -281,3 +281,32 @@ def test_run_reduce_mask_near_budget(small_scene, camera):
     # The scene fits the budget here, so gradients must be nonzero overall
     # (the mask may only kill splats whose pairs were actually truncated).
     assert np.abs(np.asarray(grads.means)).max() > 0
+
+
+def test_padded_isotropic_splats_have_zero_finite_grads():
+    # Regression: sqrt'(0) = inf made every perfectly isotropic covariance
+    # (capacity-padding splats are exactly isotropic) poison the gradient of
+    # all its parameters with NaN even though its pixel contribution is zero.
+    from unitygaussiansplatting_tpu.models.densify import pad_to_capacity
+    from unitygaussiansplatting_tpu.models.renderer import render
+    from unitygaussiansplatting_tpu.models.trainer import photometric_loss
+    from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene
+
+    cam = Camera.look_at(
+        eye=[0, 0.5, -3.0], target=[0, 0, 0], up=[0, 1, 0],
+        fov_y_deg=45.0, width=64, height=32,
+    )
+    cfg = RasterizeConfig(tile_h=8, chunk_size=32)
+    settings = RenderSettings(sh_order=1)
+    raw = pad_to_capacity(sphere_scene(n=100, seed=2), 256)
+    target = jnp.zeros((32, 64, 3))
+
+    def loss_fn(r):
+        img = render(r.activate(), cam, settings, cfg, backend="jax")
+        return photometric_loss(img[..., :3], target, ssim_weight=0.2)
+
+    g = jax.grad(loss_fn)(raw)
+    for f in ("means", "rotations_wxyz", "log_scales", "opacity_logits", "sh0", "sh"):
+        a = np.asarray(getattr(g, f))
+        assert np.isfinite(a).all(), f
+        assert np.abs(a[100:]).max() == 0.0, f  # padding gets exact zeros

@@ -169,11 +169,21 @@ def decompose_covariance2d(cov2d: jnp.ndarray) -> ScreenAxes:
     """
     cxx, cxy, cyy = jnp.moveaxis(cov2d, -1, 0)
     mid = 0.5 * (cxx + cyy)
-    radius = jnp.sqrt(jnp.square((cxx - cyy) * 0.5) + jnp.square(cxy))
+    # sqrt has an infinite derivative at 0: a perfectly isotropic covariance
+    # (cxx == cyy, cxy == 0 — every capacity-padding splat is one) would put
+    # NaN into the *gradient* of every upstream parameter even though its
+    # pixel contribution is zero (0 x NaN).  The 1e-24 floor moves the
+    # derivative to a finite value while shifting radius by at most 1e-12 px².
+    radius = jnp.sqrt(
+        jnp.maximum(jnp.square((cxx - cyy) * 0.5) + jnp.square(cxy), 1e-24)
+    )
     lam1 = mid + radius
     lam2 = jnp.maximum(mid - radius, MIN_LAMBDA)
     vec = jnp.stack([cxy, lam1 - cxx], axis=-1)
-    norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    # Same guard for the norm (jnp.linalg.norm's VJP divides by the norm).
+    norm = jnp.sqrt(
+        jnp.maximum(jnp.sum(vec * vec, axis=-1, keepdims=True), 1e-30)
+    )
     # When cov2d is already diagonal lam1-cxx and cxy are both ~0; fall back to
     # the x axis (the reference gets this for free from normalize() of a zero
     # vector being undefined-but-unused since lam1 == cxx).
