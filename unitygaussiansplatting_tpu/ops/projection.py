@@ -114,8 +114,11 @@ def project_splats(
     view_dir = means_world - cam_pos
     if inv_model_rot is not None:
         view_dir = jnp.dot(view_dir, inv_model_rot.T, precision=hi)
-    view_dir = view_dir / jnp.maximum(
-        jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-12
+    # Norm floored inside the sqrt (linalg.norm's VJP divides by the norm:
+    # a splat exactly at the camera would emit NaN grads despite being
+    # masked invalid downstream).
+    view_dir = view_dir / jnp.sqrt(
+        jnp.maximum(jnp.sum(view_dir * view_dir, axis=-1, keepdims=True), 1e-24)
     )
     color = shade_sh(
         g.base_color,

@@ -19,8 +19,15 @@ _SQRT2 = 1.4142135623730951
 
 
 def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """Normalize quaternions along the last axis."""
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+    """Normalize quaternions along the last axis.
+
+    Norm floored *inside* the sqrt: linalg.norm's VJP divides by the norm,
+    so a zero quaternion would emit NaN gradients even with a max() outside.
+    """
+    norm = jnp.sqrt(
+        jnp.maximum(jnp.sum(q * q, axis=-1, keepdims=True), eps * eps)
+    )
+    return q / norm
 
 
 def quat_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -109,7 +116,10 @@ def unpack_smallest3(pq: jnp.ndarray) -> jnp.ndarray:
     """
     idx = jnp.round(pq[..., 3] * 3.0).astype(jnp.int32)
     three = pq[..., :3] * _SQRT2 - (1.0 / _SQRT2)
-    largest = jnp.sqrt(jnp.maximum(0.0, 1.0 - jnp.sum(three * three, axis=-1)))
+    # 1e-24 floor: sqrt'(0) = inf would leak NaN into gradients when the
+    # three stored components already have unit norm (quantization can land
+    # exactly there); shifts the decoded value by at most 1e-12.
+    largest = jnp.sqrt(jnp.maximum(1e-24, 1.0 - jnp.sum(three * three, axis=-1)))
 
     a, b, c = three[..., 0], three[..., 1], three[..., 2]
     # Inverse of the pack swizzle: place `largest` at position idx.
