@@ -305,9 +305,17 @@ class TestSuggestPairMultiplier:
         mult, worst = suggest_pair_multiplier(scene, [camera], slack=1.1)
         assert worst > 0 and mult > 0
         # A frame rendered with the suggested multiplier must not overflow,
-        # and the measured demand must equal the frame's own stats counter.
+        # and the measured demand must equal the pallas backend's own
+        # sentinel-inclusive stats counter (the documented contract; the
+        # jax backend counts dead splats differently).
+        import unitygaussiansplatting_tpu.ops.rasterize_pallas as rpal
+
         cfg = RasterizeConfig(pair_multiplier=mult)
-        _, stats = render_with_stats(scene, camera, config=cfg)
+        rpal.INTERPRET = True
+        try:
+            _, stats = render_with_stats(scene, camera, config=cfg, backend="pallas")
+        finally:
+            rpal.INTERPRET = False
         assert int(stats.num_pairs) <= int(stats.budget)
         assert not bool(stats.overflowed)
         assert int(stats.num_pairs) == worst

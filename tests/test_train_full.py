@@ -92,3 +92,38 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(getattr(back, k)), np.asarray(getattr(raw, k)), err_msg=k
         )
+
+
+def test_optimizer_state_survives_densify():
+    # The lr schedule and Adam moments must carry across densification
+    # (the official trainer's cat_tensors_to_optimizer): the schedule count
+    # keeps ticking and surviving splats keep nonzero moments.
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unitygaussiansplatting_tpu.models.camera import Camera
+    from unitygaussiansplatting_tpu.models.trainer import official_3dgs_optimizer
+    from unitygaussiansplatting_tpu.models.training_loop import TrainLoopConfig, train
+    from unitygaussiansplatting_tpu.utils.config import RasterizeConfig, RenderSettings
+    from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene
+
+    raw = sphere_scene(n=200, seed=7)
+    cam = Camera.look_at(
+        eye=[0, 0.5, -3.0], target=[0, 0, 0], up=[0, 1, 0],
+        fov_y_deg=45.0, width=64, height=48,
+    )
+    # Target differing from the render so gradients are substantial and
+    # densification triggers.
+    target = jnp.full((48, 64, 3), 0.8)
+    loop = TrainLoopConfig(
+        steps=12, densify_every=5, densify_from=1, grad_threshold=1e-7,
+        capacity_step=256,
+    )
+    opt = official_3dgs_optimizer(scene_extent=1.5, total_steps=12)
+    out, hist = train(
+        raw, [cam], [target], loop,
+        RenderSettings(sh_order=1), RasterizeConfig(tile_h=8, chunk_size=32),
+        optimizer=opt,
+    )
+    assert np.isfinite(hist["losses"]).all()
+    assert any(e[1] == "densify+prune" for e in hist["events"])

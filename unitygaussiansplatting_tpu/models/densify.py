@@ -32,14 +32,22 @@ def prune(
     raw: RawGaussians,
     min_opacity: float = 0.005,
     max_world_scale: float | None = None,
-) -> RawGaussians:
-    """Drop splats below an opacity threshold (and optionally huge ones)."""
+    return_map: bool = False,
+):
+    """Drop splats below an opacity threshold (and optionally huge ones).
+
+    ``return_map`` also returns the kept input indices (for optimizer-state
+    carry-over, see :func:`densify`).
+    """
     d = _to_np(raw)
     opacity = 1.0 / (1.0 + np.exp(-d["opacity_logits"]))
     keep = opacity > min_opacity
     if max_world_scale is not None:
         keep &= np.exp(d["log_scales"]).max(axis=1) < max_world_scale
-    return _from_np({k: v[keep] for k, v in d.items()})
+    out = _from_np({k: v[keep] for k, v in d.items()})
+    if return_map:
+        return out, np.flatnonzero(keep)
+    return out
 
 
 def densify(
@@ -49,7 +57,8 @@ def densify(
     scale_threshold: float = 0.01,
     split_factor: float = 1.6,
     seed: int = 0,
-) -> RawGaussians:
+    return_map: bool = False,
+):
     """Clone small / split large high-gradient splats (3DGS §5.2).
 
     Args:
@@ -59,6 +68,11 @@ def densify(
       scale_threshold: world-size boundary between "clone" (small) and
         "split" (large).
       split_factor: scale reduction applied to split children.
+      return_map: also return ``(src_idx, is_new)`` — for each output row,
+        the input row it derives from and whether it is a new splat (clone
+        copies and split children).  Lets the training loop carry Adam
+        moments across the topology change like the official trainer
+        (zeros for new rows, parent moments dropped with split parents).
     """
     d = _to_np(raw)
     n = d["means"].shape[0]
@@ -70,12 +84,16 @@ def densify(
     split_mask = hot & (world_scale > scale_threshold)
 
     parts = [d]
+    idx_parts = [np.arange(n)]
+    new_parts = [np.zeros(n, bool)]
 
     if clone_mask.any():
         # Clone: duplicate in place; the pair then drifts apart under the
         # optimizer (3DGS clones along the gradient; at clone scale the
         # offset is negligible and optimizer noise separates them).
         parts.append({k: v[clone_mask] for k, v in d.items()})
+        idx_parts.append(np.flatnonzero(clone_mask))
+        new_parts.append(np.ones(int(clone_mask.sum()), bool))
 
     if split_mask.any():
         rng = np.random.default_rng(seed)
@@ -101,17 +119,25 @@ def densify(
                 src["log_scales"] - np.float32(np.log(split_factor))
             ).astype(np.float32)
             parts.append(child)
+            idx_parts.append(np.flatnonzero(split_mask))
+            new_parts.append(np.ones(m, bool))
 
     merged = {
         k: np.concatenate([p[k] for p in parts]).astype(d[k].dtype)
         for k in d
     }
+    src_idx = np.concatenate(idx_parts)
+    is_new = np.concatenate(new_parts)
     if split_mask.any():
         # Remove the split parents (their children replace them).
         keep = np.ones(merged["means"].shape[0], bool)
         keep[:n] = ~split_mask
         merged = {k: v[keep] for k, v in merged.items()}
-    return _from_np(merged)
+        src_idx, is_new = src_idx[keep], is_new[keep]
+    out = _from_np(merged)
+    if return_map:
+        return out, src_idx, is_new
+    return out
 
 
 def reset_opacity(raw: RawGaussians, ceiling: float = 0.01) -> RawGaussians:

@@ -81,33 +81,37 @@ def suggest_pair_multiplier(
     so it costs a few ms even at bicycle scale) — and returns
     ``(multiplier, max_demand)`` where ``multiplier`` covers the worst view
     times ``slack`` (headroom for camera motion / training drift).  Counts
-    match the fused pipeline's slot accounting exactly (dead splats hold one
-    sentinel slot each, ops/pair_expand.bin_and_prepare).
+    come from :func:`ops.binning.slot_demand` on the fp16-quantized
+    projection — the exact accounting the fused pipeline and the pallas
+    branch of :func:`render_with_stats` use.
 
     Use at scene-load or train-setup time::
 
         mult, _ = suggest_pair_multiplier(cloud, cams, settings, config)
         config = dataclasses.replace(config, pair_multiplier=mult)
     """
-    from ..ops.binning import tile_rects
+    from ..ops.binning import slot_demand
+    from ..ops.tile_common import quantize_view_fp16
 
-    if hasattr(gaussians, "pos_q"):  # DeviceAsset
-        from ..io.device_asset import decode_device
-
-        gaussians = decode_device(gaussians)
     if isinstance(cameras, Camera):
         cameras = [cameras]
+    if not cameras:
+        raise ValueError("suggest_pair_multiplier needs at least one camera")
 
     def demand(g, camera):
-        proj = project_splats(g, camera, settings, model=model)
-        _, _, _, _, counts, valid = tile_rects(
-            proj, camera.width, camera.height, config
-        )
-        live = valid & (counts > 0)
-        # int32 is ample: demand is bounded by N x tiles-per-splat << 2^31.
-        return jnp.sum(jnp.where(live, counts, 1), dtype=jnp.int32)
+        if hasattr(g, "pos_q"):  # DeviceAsset: decode inside jit like the
+            from ..io.device_asset import decode_device
 
-    n = int(gaussians.means.shape[0])
+            g = decode_device(g)  # render path — no persistent f32 copy
+        proj = quantize_view_fp16(
+            project_splats(g, camera, settings, model=model), config
+        )
+        return slot_demand(proj, camera.width, camera.height, config)
+
+    if hasattr(gaussians, "pos_q"):
+        n = int(gaussians.num_splats)  # DeviceAsset property
+    else:
+        n = int(gaussians.means.shape[0])
     worst = max(int(jax.jit(demand)(gaussians, cam)) for cam in cameras)
     return (worst * slack) / max(n, 1), worst
 
@@ -178,18 +182,16 @@ def render_with_stats(
             img = rasterize_tiles_jax(proj, binning, camera.width, camera.height, config)
         return img, stats
     if backend == "pallas":
-        from ..ops.binning import tile_rects
+        from ..ops.binning import slot_demand
         from ..ops.rasterize_pallas import rasterize_tiles_pallas_diff
         from ..ops.tile_common import quantize_view_fp16
 
-        # Slot demand = real pairs + one sentinel slot per dead splat (the
-        # fused pipeline's budget consumers); N-sized, nearly free.  Must
-        # see the same fp16-rounded opacity the pipeline's own bounds see,
-        # or edge-of-budget frames could truncate while stats say otherwise.
-        *_, counts, valid = tile_rects(
+        # N-sized, nearly free; quantized first so the bounds see the same
+        # fp16-rounded opacity the pipeline's own bounds see (else
+        # edge-of-budget frames could truncate while stats say otherwise).
+        num_slots = slot_demand(
             quantize_view_fp16(proj, config), camera.width, camera.height, config
         )
-        num_slots = jnp.sum(jnp.maximum(counts, 1), dtype=jnp.int32)
         stats = RenderStats(
             num_pairs=num_slots, budget=budget, overflowed=num_slots > budget
         )

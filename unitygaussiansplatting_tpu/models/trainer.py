@@ -167,6 +167,9 @@ def official_3dgs_optimizer(
         init_value=means_lr_init * scene_extent,
         transition_steps=max(total_steps, 1),
         decay_rate=means_lr_final / means_lr_init,
+        # Clamp past total_steps like the official get_expon_lr_func (which
+        # clips t to [0, 1]) — resumed/extended runs keep the final lr.
+        end_value=means_lr_final * scene_extent,
     )
 
     def label_fn(raw):

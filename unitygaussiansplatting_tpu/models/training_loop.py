@@ -58,6 +58,43 @@ def _capacity_for(n: int, cfg: TrainLoopConfig) -> int:
     return max(-(-want // cfg.capacity_step) * cfg.capacity_step, cfg.capacity_step)
 
 
+def _remap_opt_state(opt_state, src_idx: np.ndarray, is_new: np.ndarray):
+    """Carry optimizer state across a densify/prune/pad topology change.
+
+    The official trainer cats zeros onto exp_avg for new splats and drops
+    pruned rows ("cat_tensors_to_optimizer"); the analog here walks the
+    optax state tree and remaps every RawGaussians-shaped moment pytree
+    (Adam mu/nu live as mirrors of the param pytree): surviving rows keep
+    their moments via a gather, new/padding rows start at zero.  Scalar
+    counts (Adam bias correction, lr-schedule steps) are left untouched —
+    torch keeps per-tensor step counts across the cat too, and resetting
+    them is what made the exponential means-lr schedule restart from
+    init_value after every densification.
+    """
+    idx = jnp.asarray(src_idx, jnp.int32)
+    fresh = jnp.asarray(is_new)
+
+    def remap_leaf(a):
+        taken = jnp.take(a, idx, axis=0)
+        mask = fresh.reshape((-1,) + (1,) * (taken.ndim - 1))
+        return jnp.where(mask, jnp.zeros_like(taken), taken)
+
+    def walk(s):
+        if isinstance(s, RawGaussians):
+            return jax.tree_util.tree_map(remap_leaf, s)
+        if hasattr(s, "_fields"):  # NamedTuple optax states
+            return type(s)(*[walk(c) for c in s])
+        if isinstance(s, tuple):
+            return tuple(walk(c) for c in s)
+        if isinstance(s, list):
+            return [walk(c) for c in s]
+        if isinstance(s, dict):
+            return {k: walk(v) for k, v in s.items()}
+        return s
+
+    return walk(opt_state)
+
+
 def _make_step(optimizer, settings, config, backend, ssim_weight):
     def loss_fn(raw: RawGaussians, camera: Camera, target):
         rt = render(raw.activate(), camera, settings, config, backend)
@@ -151,18 +188,26 @@ def train(
             # grads (never cloned) and ~0 opacity (pruned away).
             mean_grad = (gacc / max(gcount, 1)).astype(np.float32)[:, None]
             mean_grad = np.repeat(mean_grad, 3, axis=1) / np.sqrt(3.0)
-            new = densify(
+            new, src_idx, is_new = densify(
                 raw,
                 mean_grad,
                 grad_threshold=loop.grad_threshold,
                 scale_threshold=loop.scale_threshold,
                 seed=i,
+                return_map=True,
             )
-            new = prune(new, min_opacity=loop.prune_opacity)
+            new, kept = prune(new, min_opacity=loop.prune_opacity, return_map=True)
+            src_idx, is_new = src_idx[kept], is_new[kept]
             n_live = int(new.num_splats)
             capacity = _capacity_for(n_live, loop)
             raw = pad_to_capacity(new, capacity)
-            opt_state = opt.init(raw)  # fresh moments after topology change
+            # Padding rows are "new" (zero moments); surviving splats keep
+            # their Adam moments and the lr-schedule step count keeps
+            # ticking (the official trainer's cat_tensors_to_optimizer).
+            pad = capacity - n_live
+            src_idx = np.concatenate([src_idx, np.zeros(pad, np.int64)])
+            is_new = np.concatenate([is_new, np.ones(pad, bool)])
+            opt_state = _remap_opt_state(opt_state, src_idx, is_new)
             gacc = np.zeros(capacity, np.float64)
             gcount = 0
             history["counts"].append((i + 1, n_live))

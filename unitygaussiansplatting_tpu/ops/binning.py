@@ -147,6 +147,20 @@ def tile_rects(
     return x0, y0, nx, ny, counts, valid
 
 
+def slot_demand(proj: ProjectedSplats, width: int, height: int, config) -> jnp.ndarray:
+    """Fused-pipeline pair-slot demand: real AABB pairs + one sentinel slot
+    per dead or empty splat (pair_expand.bin_and_prepare's budget
+    accounting — dead splats keep runs non-empty).  The single source of
+    truth for budget sizing and overflow stats.  ``proj`` must already be
+    ``tile_common.quantize_view_fp16``-rounded so the bounds see the same
+    opacity the pipeline's own bounds see.
+    """
+    *_, counts, valid = tile_rects(proj, width, height, config)
+    # tile_rects zeroes counts for invalid splats, so max(counts, 1) equals
+    # "counts for live, 1 sentinel for dead/empty".
+    return jnp.sum(jnp.maximum(counts, 1), dtype=jnp.int32)
+
+
 def bin_splats(
     proj: ProjectedSplats,
     width: int,
