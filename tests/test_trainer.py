@@ -63,7 +63,7 @@ class TestFit:
             opacity_logits=target_raw.opacity_logits * 0.5,
         )
         fitted, losses = fit(
-            start, camera, target, steps=110,
+            start, camera, target, steps=130,
             settings=settings, config=config, ssim_weight=0.0,
         )
         assert losses[-1] < losses[0] * 0.5, f"loss {losses[0]} -> {losses[-1]}"
