@@ -367,3 +367,31 @@ class TestTileShapes:
         finally:
             rpal.INTERPRET = False
         np.testing.assert_allclose(np.asarray(pal), np.asarray(got), atol=3e-5)
+
+
+def test_ellipse_cull_preserves_output_thin_splats(scene, camera):
+    # The expansion kernel's ellipse-interval cull retargets pairs that
+    # provably contain no passing pixel; highly anisotropic splats (where
+    # it culls ~20% of AABB pairs) must render identically across backends.
+    import dataclasses
+
+    import unitygaussiansplatting_tpu.ops.rasterize_pallas as rpal
+    from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene
+
+    raw = sphere_scene(n=1500, seed=1)
+    raw = dataclasses.replace(
+        raw,
+        log_scales=np.asarray(raw.log_scales)
+        + np.asarray([2.5, -1.5, -1.5], np.float32),
+    )
+    g = raw.activate()
+    cfg = RasterizeConfig(pair_multiplier=16.0)
+    ref = render(g, camera, backend="reference", config=cfg)
+    got = render(g, camera, backend="jax", config=cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+    rpal.INTERPRET = True
+    try:
+        pal = render(g, camera, backend="pallas", config=cfg)
+    finally:
+        rpal.INTERPRET = False
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(got), atol=3e-5)

@@ -44,19 +44,22 @@ from ..utils.config import RasterizeConfig
 from .binning import cdiv
 
 # Table rows: cx, cy, a1x, a1y, a2x, a2y, r, g, b, opacity, x0, y0, nx,
-# depth_key, support_r2, 0.  The first 10 match the composite kernels'
-# field order; the rest are binning metadata consumed here and by the key
-# builder.  support_r2 = min(rho^2, 8) * max(|a1|^2, |a2|^2): any tile
-# whose rect lies entirely farther than sqrt(support_r2) pixels from the
-# center cannot contain a pixel passing the alpha/quad keep test (q^2 >=
-# |d|^2 / max-axis^2), so the kernel retargets such corner-rect pairs to
-# the sentinel tile — an output-preserving refinement of the AABB binning.
+# depth_key, qcap, 0.  The first 10 match the composite kernels' field
+# order; the rest are binning metadata consumed here and by the key
+# builder.  qcap = rho^2 = log(opacity / alpha_discard): the kernel culls a
+# pair to the sentinel tile when NO pixel of the tile can pass the keep
+# test.  qx and qy are affine in pixel coords, so their ranges over the
+# tile rect come from interval arithmetic; if min|qx|^2 + min|qy|^2 >
+# qcap (alpha discard) or min|qx| > 2 / min|qy| > 2 (quad clip), every
+# pixel fails — an output-preserving, anisotropy-exact refinement of the
+# AABB binning (the old isotropic circle test kept far-off-minor-axis
+# tiles of thin splats that can never pass).
 _ROWS = 16
 ROW_X0 = 10
 ROW_Y0 = 11
 ROW_NX = 12
 ROW_DEPTH_KEY = 13
-ROW_R2 = 14
+ROW_QCAP = 14
 
 
 def _f16_bits(x: jnp.ndarray) -> jnp.ndarray:
@@ -90,6 +93,7 @@ def _expand_kernel(
     db: int,
     pack_axes: bool,
     pack_color: bool,
+    quad_clip: bool,
 ):
     key_ref, splat_ref = refs[0], refs[1]
     c = key_ref.shape[2]
@@ -156,18 +160,42 @@ def _expand_kernel(
     ty = y0 + q
     tile_f = ty * tiles_x + tx  # < 2^22, f32-exact
 
-    # Conservative circle-vs-tile-rect cull: pairs whose tile rect cannot
-    # contain any passing pixel go to the sentinel tile (see ROW_R2 note).
+    # Ellipse-interval cull: qx/qy are affine in pixel coords, so their
+    # exact ranges over the tile's pixel centers come from corner interval
+    # arithmetic; a pair none of whose pixels can pass the alpha/quad keep
+    # test goes to the sentinel tile (see ROW_QCAP note).  Margins cover
+    # the fp difference between this arithmetic and the composite kernel's
+    # per-pixel form.
     cx = fields[0, :][None, :]
     cy = fields[1, :][None, :]
-    r2 = fields[ROW_R2, :][None, :]
-    dx_lo = tx * tile_w - cx
-    dx_hi = cx - (tx + 1.0) * tile_w
-    dy_lo = ty * tile_h - cy
-    dy_hi = cy - (ty + 1.0) * tile_h
-    ddx = jnp.maximum(jnp.maximum(dx_lo, dx_hi), 0.0)
-    ddy = jnp.maximum(jnp.maximum(dy_lo, dy_hi), 0.0)
-    touches = ddx * ddx + ddy * ddy <= r2
+    a1x = fields[2, :][None, :]
+    a1y = fields[3, :][None, :]
+    a2x = fields[4, :][None, :]
+    a2y = fields[5, :][None, :]
+    qcap = fields[ROW_QCAP, :][None, :]
+    inv1 = 1.0 / jnp.maximum(a1x * a1x + a1y * a1y, 1e-12)
+    inv2 = 1.0 / jnp.maximum(a2x * a2x + a2y * a2y, 1e-12)
+    dx_lo = tx * tile_w + 0.5 - cx  # first pixel center of the tile
+    dx_hi = tx * tile_w + (tile_w - 0.5) - cx  # last pixel center
+    dy_lo = ty * tile_h + 0.5 - cy
+    dy_hi = ty * tile_h + (tile_h - 0.5) - cy
+
+    def min_abs_q(ax, ay, inv):
+        # Range of (dx*ax + dy*ay) * inv over the rect (affine, so extreme
+        # at corners; per-axis min/max of the product handles signs).
+        tx_min = jnp.minimum(dx_lo * ax, dx_hi * ax)
+        tx_max = jnp.maximum(dx_lo * ax, dx_hi * ax)
+        ty_min = jnp.minimum(dy_lo * ay, dy_hi * ay)
+        ty_max = jnp.maximum(dy_lo * ay, dy_hi * ay)
+        q_min = (tx_min + ty_min) * inv
+        q_max = (tx_max + ty_max) * inv
+        return jnp.maximum(jnp.maximum(q_min, -q_max), 0.0)
+
+    mqx = min_abs_q(a1x, a1y, inv1)
+    mqy = min_abs_q(a2x, a2y, inv2)
+    touches = mqx * mqx + mqy * mqy <= qcap * 1.0002 + 1e-3
+    if quad_clip:
+        touches &= (mqx <= 2.001) & (mqy <= 2.001)
 
     live = slots < num_pairs  # (1, C) bool
     # Fused sort key, built in-kernel: (tile << db) | quantized depth —
@@ -217,6 +245,7 @@ def expand_operands(
     tile_h: int = 32,
     pack_axes: bool = False,
     pack_color: bool = False,
+    quad_clip: bool = True,
     interpret: bool = False,
 ):
     """Run the expansion kernel; returns the (K,)-shaped sort operand tuple
@@ -280,6 +309,7 @@ def expand_operands(
             db=db,
             pack_axes=pack_axes,
             pack_color=pack_color,
+            quad_clip=quad_clip,
         ),
         grid_spec=grid_spec,
         out_shape=tuple(
@@ -353,21 +383,15 @@ def bin_and_prepare(
 
     x0, y0, nx, ny, counts, valid = tile_rects(proj, width, height, config)
 
-    # Conservative per-splat support radius^2 for the kernel's corner cull
-    # (see ROW_R2): q^2 >= |d|^2 / max(|a1|^2, |a2|^2) and the keep test
-    # requires q^2 <= min(rho^2, 8); small margin guards fp rounding.
-    amax2 = jnp.maximum(
-        jnp.sum(proj.axis1 * proj.axis1, axis=-1),
-        jnp.sum(proj.axis2 * proj.axis2, axis=-1),
-    )
-    qcap = jnp.float32(1e30)
+    # Per-splat alpha-discard bound for the kernel's ellipse-interval cull
+    # (see ROW_QCAP): alpha = exp(-q^2) * opacity >= discard requires
+    # q^2 <= rho^2 = log(opacity / discard); the quad-clip |q| <= 2 bound
+    # is applied per-component in the kernel.
+    qcap = jnp.full(n, 1e30, jnp.float32)
     if config.alpha_discard > 0.0:
         qcap = jnp.maximum(
             jnp.log(jnp.maximum(proj.opacity, 1e-30) / config.alpha_discard), 0.0
         )
-    if config.quad_clip:
-        qcap = jnp.minimum(qcap, 8.0)
-    support_r2 = jnp.minimum(qcap * amax2 * 1.0002 + 0.01, 1e30)
     live = valid & (counts > 0)
     # Dead splats emit exactly one pair aimed at the sentinel tile: keeps
     # every expansion run non-empty (the kernel's window-coverage invariant)
@@ -407,7 +431,7 @@ def bin_and_prepare(
             y0f,
             nxf,
             dqf,
-            jnp.where(live, support_r2, 1e30),
+            jnp.where(live, qcap, 1e30),
             zeros,
         ],
         axis=0,
@@ -437,6 +461,7 @@ def bin_and_prepare(
         tile_h=config.tile_h,
         pack_axes=config.pack_axes_f16,
         pack_color=config.pack_color_f16,
+        quad_clip=config.quad_clip,
         interpret=interpret,
     )
 
