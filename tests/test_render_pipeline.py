@@ -395,3 +395,57 @@ def test_ellipse_cull_preserves_output_thin_splats(scene, camera):
     finally:
         rpal.INTERPRET = False
     np.testing.assert_allclose(np.asarray(pal), np.asarray(got), atol=3e-5)
+
+
+class TestPackCenter:
+    # pack_center_u32: lossy opt-in sort-payload compression (one u32
+    # instead of two f32 center operands).  Bounded by design: ~7e-4 error
+    # in the q coordinates -> sub-1% alpha error, rare discard-threshold
+    # pixel flips.
+    @pytest.mark.parametrize("thin", [False, True])
+    def test_image_close_to_unpacked(self, camera, thin):
+        import dataclasses
+
+        from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene
+
+        raw = sphere_scene(n=1500, seed=1)
+        if thin:
+            raw = dataclasses.replace(
+                raw,
+                log_scales=np.asarray(raw.log_scales)
+                + np.asarray([2.5, -1.5, -1.5], np.float32),
+            )
+        g = raw.activate()
+        base = render(
+            g, camera, config=RasterizeConfig(pair_multiplier=16.0),
+            backend="pallas",
+        )
+        packed = render(
+            g, camera,
+            config=RasterizeConfig(pair_multiplier=16.0, pack_center_u32=True),
+            backend="pallas",
+        )
+        d = np.abs(np.asarray(packed) - np.asarray(base))
+        assert d.max() < 0.05, d.max()
+        assert d.mean() < 5e-4, d.mean()
+        assert (d > 1e-2).mean() < 1e-3  # only isolated threshold flips
+
+    def test_grads_finite_and_close(self, camera):
+        from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene
+
+        raw = sphere_scene(n=600, seed=2)
+
+        def loss(r, cfg):
+            return jnp.mean(render(r.activate(), camera, config=cfg, backend="pallas"))
+
+        g0 = jax.grad(lambda r: loss(r, RasterizeConfig(pack_grads_bf16=True)))(raw)
+        g1 = jax.grad(
+            lambda r: loss(
+                r, RasterizeConfig(pack_grads_bf16=True, pack_center_u32=True)
+            )
+        )(raw)
+        for f in ("means", "log_scales", "opacity_logits", "sh0"):
+            a, b = np.asarray(getattr(g0, f)), np.asarray(getattr(g1, f))
+            assert np.isfinite(b).all(), f
+            rel = np.abs(b - a).max() / max(np.abs(a).max(), 1e-12)
+            assert rel < 0.1, (f, rel)

@@ -94,6 +94,7 @@ def _expand_kernel(
     pack_axes: bool,
     pack_color: bool,
     quad_clip: bool,
+    pack_center: bool,
 ):
     key_ref, splat_ref = refs[0], refs[1]
     c = key_ref.shape[2]
@@ -216,7 +217,46 @@ def _expand_kernel(
     # this kernel and the sort.
     fieldz = jnp.where(live, fields, 0.0)
     row = lambda r: fieldz[r, :][None, :]
-    out = [row(0), row(1)]
+    if pack_center:
+        # Rotated-frame center offsets, quantized into one u32 (see
+        # RasterizeConfig.pack_center_u32).  Basis: â1 = a1/|a1| and its
+        # EXACT perpendicular sign-matched to a2 — f16-rounded axes are only
+        # ~1e-3 orthogonal, and a non-orthonormal basis would leak an
+        # |s1|-scaled error into the minor direction; the exact-perp basis
+        # makes decode a pure rotation (reconstruction error = quantization
+        # only).  Ranges follow from the ellipse cull's survival guarantee:
+        # min|qx| <= sqrt(cap_eff) (and <= 2.001 under quad clip), so
+        # |s_i| <= qb*|a_i| + half-rect projection + margins.
+        n1 = jnp.sqrt(jnp.maximum(a1x * a1x + a1y * a1y, 1e-12))
+        n2 = jnp.sqrt(jnp.maximum(a2x * a2x + a2y * a2y, 1e-12))
+        u1x, u1y = a1x / n1, a1y / n1
+        sg = jnp.where(a2y * u1x - a2x * u1y >= 0.0, 1.0, -1.0)
+        u2x, u2y = -sg * u1y, sg * u1x  # exact perp of â1, aligned with a2
+        txf = (tile_i % tiles_x).astype(jnp.float32)
+        tyf = (tile_i // tiles_x).astype(jnp.float32)
+        dxc = cx - (txf * tile_w + 0.5 * tile_w)
+        dyc = cy - (tyf * tile_h + 0.5 * tile_h)
+        s1 = dxc * u1x + dyc * u1y
+        s2 = dxc * u2x + dyc * u2y
+        qb = jnp.sqrt(jnp.maximum(qcap * 1.0002 + 1e-3, 0.0))
+        if quad_clip:
+            qb = jnp.minimum(qb, 2.001)
+        half1 = 0.5 * (jnp.abs(u1x) * tile_w + jnp.abs(u1y) * tile_h)
+        half2 = 0.5 * (jnp.abs(u2x) * tile_w + jnp.abs(u2y) * tile_h)
+        r1 = qb * n1 + half1 + 0.51
+        # + 0.002*r1: |d·perp(â1)| can exceed |d·â2| by ~1e-3*|s1| (basis
+        # swap vs the cull's bound).
+        r2 = qb * n2 + half2 + 0.51 + 0.002 * r1
+        q1 = jnp.clip(jnp.floor(s1 / r1 * 2047.0 + 0.5) + 2048.0, 0.0, 4095.0)
+        q2 = jnp.clip(
+            jnp.floor(s2 / r2 * 65535.0 + 0.5) + 65536.0, 0.0, 131071.0
+        )
+        center_u = q1.astype(jnp.int32).astype(jnp.uint32) | (
+            q2.astype(jnp.int32).astype(jnp.uint32) << 12
+        )
+        out = [center_u]
+    else:
+        out = [row(0), row(1)]
     if pack_axes:
         out.append(_f16_bits(row(2)) | (_f16_bits(row(3)) << 16))
         out.append(_f16_bits(row(4)) | (_f16_bits(row(5)) << 16))
@@ -246,12 +286,14 @@ def expand_operands(
     pack_axes: bool = False,
     pack_color: bool = False,
     quad_clip: bool = True,
+    pack_center: bool = False,
     interpret: bool = False,
 ):
     """Run the expansion kernel; returns the (K,)-shaped sort operand tuple
-    ``(key u32, splat i32, cx, cy, <axes>, <colors>)`` — axes/colors are two
-    f16-packed u32 arrays each when the corresponding flag is set, else four
-    f32 arrays.
+    ``(key u32, splat i32, <center>, <axes>, <colors>)`` — center is one
+    quantized u32 when pack_center else two f32 (cx, cy); axes/colors are
+    two f16-packed u32 arrays each when the corresponding flag is set, else
+    four f32 arrays.
 
     ``NPAD`` is the splat-dim padding (multiple of C, > num_splats); both
     inputs carry one extra C-block so the window's hi block always exists.
@@ -278,10 +320,12 @@ def expand_operands(
     def hi_block(i, r0_ref, meta_ref):
         return (r0_ref[i] // c + 1, 0)
 
-    n_field_ops = 2 + (2 if pack_axes else 4) + (2 if pack_color else 4)
-    field_dtypes = [jnp.float32, jnp.float32]
+    field_dtypes = (
+        [jnp.uint32] if pack_center else [jnp.float32, jnp.float32]
+    )
     field_dtypes += [jnp.uint32] * 2 if pack_axes else [jnp.float32] * 4
     field_dtypes += [jnp.uint32] * 2 if pack_color else [jnp.float32] * 4
+    n_field_ops = len(field_dtypes)
     out_block = lambda i, r, m: (i, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -310,6 +354,7 @@ def expand_operands(
             pack_axes=pack_axes,
             pack_color=pack_color,
             quad_clip=quad_clip,
+            pack_center=pack_center,
         ),
         grid_spec=grid_spec,
         out_shape=tuple(
@@ -377,6 +422,11 @@ def bin_and_prepare(
             "int16-exact boundary window"
         )
     k = pair_budget(n, config)
+    # Center packing needs the ellipse cull's survival bound; with neither
+    # alpha discard nor quad clip the offsets are unbounded — ignore the flag.
+    pack_center = bool(getattr(config, "pack_center_u32", False)) and (
+        config.alpha_discard > 0.0 or config.quad_clip
+    )
     c = config.expand_chunk
     assert k % c == 0 and k % config.chunk_size == 0
     db = depth_key_bits(num_tiles)
@@ -462,6 +512,7 @@ def bin_and_prepare(
         pack_axes=config.pack_axes_f16,
         pack_color=config.pack_color_f16,
         quad_clip=config.quad_clip,
+        pack_center=pack_center,
         interpret=interpret,
     )
 
@@ -486,19 +537,57 @@ def bin_and_prepare(
     )
     tile_starts = jnp.searchsorted(key_s, tile_bounds, side="left").astype(jnp.int32)
 
-    if config.pack_axes_f16:
-        cx_s, cy_s, au1, au2 = rest[:4]
-        geo_rows = [cx_s, cy_s, unh(au1), unh(au1 >> 16), unh(au2), unh(au2 >> 16)]
-        rest = rest[4:]
+    if pack_center:
+        cen_u = rest[0]
+        rest = rest[1:]
+        cx_s = cy_s = None  # decoded below, after the axes are unpacked
     else:
-        geo_rows = rest[:6]
-        rest = rest[6:]
+        cx_s, cy_s = rest[:2]
+        rest = rest[2:]
+    if config.pack_axes_f16:
+        au1, au2 = rest[:2]
+        axis_rows = [unh(au1), unh(au1 >> 16), unh(au2), unh(au2 >> 16)]
+        rest = rest[2:]
+    else:
+        axis_rows = rest[:4]
+        rest = rest[4:]
     if config.pack_color_f16:
         cu1_s, cu2_s = rest
         color_rows = [unh(cu1_s), unh(cu1_s >> 16), unh(cu2_s), unh(cu2_s >> 16)]
     else:
         color_rows = rest
-    field_rows = geo_rows + color_rows
+    if pack_center:
+        # Decode the rotated-frame center: same basis/range arithmetic as
+        # the kernel's encode (exact-perp basis makes it a pure rotation;
+        # bit-exactness is not required — the path is lossy by design and
+        # ulp-level disagreements only add ~1e-7 relative error).
+        a1x_s, a1y_s, a2x_s, a2y_s = axis_rows
+        op_s = color_rows[3]
+        tile_s = (key_s >> db).astype(jnp.int32)
+        n1 = jnp.sqrt(jnp.maximum(a1x_s * a1x_s + a1y_s * a1y_s, 1e-12))
+        n2 = jnp.sqrt(jnp.maximum(a2x_s * a2x_s + a2y_s * a2y_s, 1e-12))
+        u1x, u1y = a1x_s / n1, a1y_s / n1
+        sg = jnp.where(a2y_s * u1x - a2x_s * u1y >= 0.0, 1.0, -1.0)
+        u2x, u2y = -sg * u1y, sg * u1x
+        qcap_s = jnp.full_like(op_s, 1e30)
+        if config.alpha_discard > 0.0:
+            qcap_s = jnp.maximum(
+                jnp.log(jnp.maximum(op_s, 1e-30) / config.alpha_discard), 0.0
+            )
+        qb = jnp.sqrt(jnp.maximum(qcap_s * 1.0002 + 1e-3, 0.0))
+        if config.quad_clip:
+            qb = jnp.minimum(qb, 2.001)
+        half1 = 0.5 * (jnp.abs(u1x) * config.tile_w + jnp.abs(u1y) * config.tile_h)
+        half2 = 0.5 * (jnp.abs(u2x) * config.tile_w + jnp.abs(u2y) * config.tile_h)
+        r1 = qb * n1 + half1 + 0.51
+        r2 = qb * n2 + half2 + 0.51 + 0.002 * r1
+        s1 = ((cen_u & 0xFFF).astype(jnp.float32) - 2048.0) * (r1 / 2047.0)
+        s2 = ((cen_u >> 12).astype(jnp.float32) - 65536.0) * (r2 / 65535.0)
+        tcx = (tile_s % tiles_x).astype(jnp.float32) * config.tile_w + 0.5 * config.tile_w
+        tcy = (tile_s // tiles_x).astype(jnp.float32) * config.tile_h + 0.5 * config.tile_h
+        cx_s = tcx + s1 * u1x + s2 * u2x
+        cy_s = tcy + s1 * u1y + s2 * u2y
+    field_rows = [cx_s, cy_s] + axis_rows + color_rows
 
     g2 = k // config.chunk_size
     fields = jnp.concatenate(

@@ -110,3 +110,14 @@ class RasterizeConfig:
     # per-splat reduction itself stays f32.  Off by default (strict
     # cross-backend gradient agreement); the benchmark enables it.
     pack_grads_bf16: bool = dataclasses.field(default=False, metadata={"static": True})
+    # Pack each pair's screen center into ONE u32 sort payload (instead of
+    # two f32) in the pair's own eigen-frame relative to its tile center:
+    # the quantization tolerance scales with the same axis as the range
+    # (12-bit major / 17-bit minor offsets -> ~7e-4 error in the q
+    # coordinates even at extreme anisotropy), bounded by the
+    # ellipse-interval cull's survival guarantee.  Saves one sort operand
+    # (~31 ms at bicycle scale).  Lossy and pallas-pipeline-internal (other
+    # backends keep f32 centers), so off by default; requires the cull to
+    # be active (alpha_discard > 0 or quad_clip) — silently ignored
+    # otherwise.
+    pack_center_u32: bool = dataclasses.field(default=False, metadata={"static": True})
