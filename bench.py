@@ -50,7 +50,39 @@ def time_frames(fn, scene, frames):
     return (time.perf_counter() - t0) / frames * 1000.0
 
 
+def _arm_watchdog():
+    """Guarantee bench terminates with one parseable JSON line even if the
+    TPU transport wedges (device init or a dispatch hanging forever).  The
+    deadline covers healthy cold-compile worst cases (~6 min contended)
+    with a wide margin; the daemon thread dies with a normal exit."""
+    import json
+    import threading
+
+    deadline = float(os.environ.get("BENCH_WATCHDOG_S", 2400))
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "fwd+bwd ms/frame (bench watchdog)",
+                    "value": None,
+                    "unit": "ms",
+                    "vs_baseline": 0.0,
+                    "error": f"bench exceeded {deadline:.0f}s "
+                    "(TPU transport down or wedged)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
+    _arm_watchdog()
     n = int(os.environ.get("BENCH_N", 6_100_000))
     width = int(os.environ.get("BENCH_W", 1200))
     height = int(os.environ.get("BENCH_H", 797))
