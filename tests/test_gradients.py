@@ -283,6 +283,70 @@ def test_run_reduce_mask_near_budget(small_scene, camera):
     assert np.abs(np.asarray(grads.means)).max() > 0
 
 
+def test_run_reduce_straddling_final_window():
+    # Direct regression for the run-reduce validity mask: when the LAST grid
+    # window starts in block vb but covers splats of block vb+1 (straddle),
+    # those splats' sums live in visited block vb's *hi* half.  Masking both
+    # halves at (vb+1)*C (the old single-edge mask) zeroed up to C-1 valid
+    # tail splats; the fix masks lo at (vb+1)*C and shifted-hi at (vb+2)*C.
+    from unitygaussiansplatting_tpu.ops.rasterize_pallas_bwd import _run_reduce
+
+    c = 256
+    k = 512  # two grid steps
+    n = 300
+    rng = np.random.default_rng(7)
+
+    # counts: splats 0..254 -> 1 pair, splat 255 -> 2 (its run covers slot
+    # 256, so step 1's r0 = 255 -> vb = 0), splats 256..298 -> 5, 299 -> 40.
+    counts = np.zeros(n, np.int32)
+    counts[:255] = 1
+    counts[255] = 2
+    counts[256:299] = 5
+    counts[299] = 40
+    assert counts.sum() == k
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+
+    # 10 bf16-representable field rows per pair (<= 8 significand bits),
+    # packed pairwise into u32.
+    fields = rng.integers(-256, 256, size=(10, k)).astype(np.float32) / 8.0
+    bf = lambda r: jnp.asarray(r).astype(jnp.bfloat16)
+    packed = tuple(
+        jax.lax.bitcast_convert_type(bf(fields[2 * i]), jnp.uint16).astype(jnp.uint32)
+        | (
+            jax.lax.bitcast_convert_type(bf(fields[2 * i + 1]), jnp.uint16).astype(
+                jnp.uint32
+            )
+            << 16
+        )
+        for i in range(5)
+    )
+    got = np.asarray(
+        _run_reduce(packed, jnp.asarray(offsets), n, c, interpret=True)
+    )  # (10, n)
+
+    expected = np.zeros((10, n), np.float32)
+    np.add.at(expected.T, np.repeat(np.arange(n), counts), fields.T)
+    np.testing.assert_allclose(got, expected, rtol=0, atol=1e-5)
+    # The straddled tail splats (block 1) are the regression target:
+    assert np.abs(got[:, 256:]).max() > 0
+
+    # Budget truncation: same layout clipped to one grid step (K must stay a
+    # chunk multiple) -> splat 255 keeps 1 of its 2 pairs, splats 256.. are
+    # fully truncated and must come back as exact zeros.
+    k2 = 256
+    off2 = np.minimum(offsets, k2)
+    got2 = np.asarray(
+        _run_reduce(
+            tuple(p[:k2] for p in packed), jnp.asarray(off2), n, c, interpret=True
+        )
+    )
+    exp2 = np.zeros((10, n), np.float32)
+    live = np.repeat(np.arange(n), counts)[:k2]
+    np.add.at(exp2.T, live, fields[:, :k2].T)
+    np.testing.assert_allclose(got2, exp2, rtol=0, atol=1e-5)
+    assert np.abs(got2[:, 256:]).max() == 0  # fully truncated splats
+
+
 def test_padded_isotropic_splats_have_zero_finite_grads():
     # Regression: sqrt'(0) = inf made every perfectly isotropic covariance
     # (capacity-padding splats are exactly isotropic) poison the gradient of

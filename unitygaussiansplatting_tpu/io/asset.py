@@ -4,8 +4,9 @@ Byte-compatible reimplementation of the reference's asset serialization —
 the five blobs ``{chk,pos,oth,col,shs}`` written by the asset creator
 (package/Editor/GaussianSplatAssetCreator.cs:301-315,520-1066) and decoded by
 the runtime (package/Shaders/GaussianSplatting.hlsl:394-608).  An asset
-produced by the Unity editor can be loaded here and vice versa (BC7 color is
-decode-unsupported for now; SURVEY.md §7 hard-part #5).
+produced by the Unity editor can be loaded here and vice versa, including
+BC7 color (decode in io/bc7.py, encode mode-5 with least-squares endpoint
+refinement).
 
 Quantization scheme (per 256-splat chunk, GaussianSplatAssetCreator.cs:520-658):
 - scale is warped by pow(1/8) and opacity by SquareCentered01 before
@@ -17,8 +18,9 @@ Quantization scheme (per 256-splat chunk, GaussianSplatAssetCreator.cs:520-658):
 
 The import pipeline is CPU/numpy: it runs once per asset, is bandwidth-bound,
 and keeping it off-device mirrors the reference's Burst-job import.  The
-renderer consumes the decoded float arrays (device-side fused dequantization
-from the packed blobs is the planned Stage-3 path).
+renderer consumes either the decoded float arrays or — the production path —
+the packed blobs directly, dequantized on device each frame under the render
+jit (io/device_asset.py DeviceAsset, the LoadSplatData analog).
 """
 
 from __future__ import annotations

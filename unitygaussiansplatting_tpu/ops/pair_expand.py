@@ -529,7 +529,11 @@ def bin_and_prepare(
         sorted_ = jax.lax.sort(
             operands[:1] + operands[2:], num_keys=1, is_stable=True
         )
-        key_s, splat_s = sorted_[0], operands[1]  # placeholder: shape only
+        # Shape-only placeholder: every id is the out-of-range sentinel
+        # `n` so a consumer reading pair_rank/pair_splat from a
+        # forward-only binning fails loudly instead of silently using
+        # unsorted ids.
+        key_s, splat_s = sorted_[0], jnp.full_like(operands[1], n)
         rest = list(sorted_[1:])
 
     tile_bounds = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << db).astype(

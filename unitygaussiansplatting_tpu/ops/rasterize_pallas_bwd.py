@@ -483,19 +483,27 @@ def _run_reduce(
 
     lo = out_lo.transpose(1, 0, 2).reshape(_FIELDS, nb * c)
     hi = out_hi.transpose(1, 0, 2).reshape(_FIELDS, nb * c)
-    # out_hi[b] holds splats [b*C + 2C): shift one block right.
-    total = lo + jnp.concatenate(
+    # out_hi[b] holds splats [b*C + C, b*C + 2C): shift one block right.
+    hi_shifted = jnp.concatenate(
         [jnp.zeros((_FIELDS, c), jnp.float32), hi[:, : (nb - 1) * c]], axis=1
     )
-    # The grid only visits output blocks up to r0[-1] // c — Pallas leaves
-    # HBM of never-visited out blocks UNDEFINED on real TPU (interpret mode
-    # zero-fills, hiding this).  Splats past the last visited window have no
-    # pairs inside the budget (their runs were clipped to K), so their true
-    # in-budget gradient is zero: mask every column from the first unvisited
-    # block on.  (Splats [vb*C - C, vb*C) accumulate in visited block
-    # vb-1's lo/hi halves, so nothing valid is masked.)
-    valid_cols = (r0[-1] // c + 1) * c
-    total = jnp.where(jnp.arange(nb * c, dtype=jnp.int32) < valid_cols, total, 0.0)
+    # The grid only visits output blocks up to vb = r0[-1] // c — Pallas
+    # leaves HBM of never-visited out blocks UNDEFINED on real TPU
+    # (interpret mode zero-fills, hiding this).  Runs are non-empty up to
+    # the budget clip, so r0 // c advances by at most one block per grid
+    # step and every block <= vb IS visited.  Mask each half at its own
+    # validity edge: lo columns are defined through block vb (splats
+    # < (vb+1)*C), the shifted hi columns through block vb+1 (splats
+    # < (vb+2)*C — block vb's hi half covers them and is valid; masking
+    # both halves at (vb+1)*C would zero up to C-1 tail splats whose
+    # in-budget pairs landed only in that hi half).  Splats beyond both
+    # edges had their runs clipped to K, so their true in-budget gradient
+    # is zero.
+    vb = r0[-1] // c
+    cols = jnp.arange(nb * c, dtype=jnp.int32)
+    total = jnp.where(cols < (vb + 1) * c, lo, 0.0) + jnp.where(
+        cols < (vb + 2) * c, hi_shifted, 0.0
+    )
     return total[:10, :n]
 
 

@@ -55,8 +55,12 @@ class RasterizeConfig:
     # every pair-sized stage (fwd 632 -> 511 ms, fwd+bwd 1435 -> 1076 ms).
     tile_h: int = dataclasses.field(default=32, metadata={"static": True})
     tile_w: int = dataclasses.field(default=64, metadata={"static": True})
-    # Max (splat, tile) pairs as a multiple of N; pairs beyond the budget are
-    # dropped far-field first (they sort after the cutoff).
+    # Max (splat, tile) pairs as a multiple of N.  On overflow the XLA
+    # bin_splats path drops far-field pairs first (they sort after the
+    # cutoff); the fused pallas pipeline generates pairs splat-id-major and
+    # truncates *arbitrary* splats (see RenderStats docstring) — size the
+    # budget from binning.slot_demand / suggest_pair_multiplier, don't rely
+    # on graceful degradation.
     pair_multiplier: float = dataclasses.field(default=4.0, metadata={"static": True})
     # Splats processed per inner-kernel chunk; also the MXU contraction dim of
     # the color accumulation matmul.
