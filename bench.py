@@ -28,16 +28,177 @@ Prints exactly one JSON line.
 
 import json
 import os
+import signal
+import socket
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+REFERENCE_MS = 6.8  # readme.md:84, RTX 3080 Ti
+
+# Relay ports the tunneled-TPU plugin dials (see /root/.tpu_init.py PORTS);
+# probing with a bare TCP connect does NOT create a PJRT client/chip claim.
+_RELAY_PORTS = (8082, 8083, 8087)
+
+
+def _relay_up() -> bool:
+    for port in _RELAY_PORTS:
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=2):
+                return True
+        except OSError:
+            continue
+    return False
+
+
+def _kill_stale_worker():
+    """Enforce the single-TPU-client rule: if the dev measurement worker
+    (tools/tpu_worker.py) is still alive, stop it by its EXACT recorded pid
+    before claiming the chip (a second client makes every dispatch take
+    minutes).  Never pattern-kills."""
+    pidfile = "/tmp/tpuq/pid"
+    try:
+        pid = int(open(pidfile).read().strip())
+    except (OSError, ValueError):
+        return
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            cmd = f.read().decode(errors="replace")
+    except OSError:
+        return  # not running
+    if "tpu_worker" not in cmd:
+        return  # pid was recycled by an unrelated process: leave it alone
+    print(f"bench: stopping stale TPU worker pid {pid}", file=sys.stderr)
+    os.kill(pid, signal.SIGTERM)
+    for _ in range(50):
+        if not os.path.exists(f"/proc/{pid}"):
+            break
+        time.sleep(0.2)
+    else:
+        os.kill(pid, signal.SIGKILL)
+        time.sleep(1.0)
+    try:
+        os.remove(pidfile)
+    except OSError:
+        pass
+
+
+def _emit_error_line(msg: str) -> None:
+    """One parseable JSON line proving the bench ran, with a CPU smoke
+    number so 'code works, transport down' is distinguishable from 'code
+    broken' in the recorded artifact."""
+    smoke_ms = None
+    try:
+        import subprocess
+
+        t0 = time.perf_counter()
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.config.update('jax_platforms', 'cpu');"
+             "import sys; sys.path.insert(0, %r);"
+             "from unitygaussiansplatting_tpu.models.camera import Camera;"
+             "from unitygaussiansplatting_tpu.models.renderer import render;"
+             "from unitygaussiansplatting_tpu.utils.config import RenderSettings;"
+             "from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene;"
+             "g = sphere_scene(n=20000, seed=0).activate();"
+             "cam = Camera.look_at(eye=[0,0.6,-3], target=[0,0,0], up=[0,1,0],"
+             " fov_y_deg=47.0, width=320, height=200);"
+             "img = render(g, cam, RenderSettings(sh_order=1));"
+             "print('smoke ok', float(img.mean()))"
+             % os.path.dirname(os.path.abspath(__file__))],
+            capture_output=True, timeout=600, text=True,
+        )
+        if r.returncode == 0 and "smoke ok" in r.stdout:
+            smoke_ms = round((time.perf_counter() - t0) * 1000.0, 1)
+    except Exception:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "fwd+bwd ms/frame (bench aborted: TPU unavailable)",
+                "value": None,
+                "unit": "ms",
+                "vs_baseline": 0.0,
+                "error": msg,
+                "cpu_smoke_render_ms": smoke_ms,
+            }
+        ),
+        flush=True,
+    )
+    # os._exit: must also terminate from watchdog threads (sys.exit in a
+    # non-main thread only kills that thread).
+    os._exit(3)
+
+
+def _acquire_backend():
+    """Init the accelerator backend, waiting out transport outages.
+
+    Round 2's only perf artifact was lost to a one-shot init failure
+    (BENCH_r02.json rc=1, 'Unable to initialize backend axon'); with the
+    tunnel fully dead, PJRT init does not even raise — it HANGS.  So:
+    (1) never touch jax unless the relay port is listening (a bare TCP
+    probe, no chip claim); wait up to BENCH_INIT_WAIT_S for it.
+    (2) Registration happens in sitecustomize at interpreter start, so a
+    registration that already failed cannot be retried in-process: re-exec
+    this script (fresh interpreter -> fresh registration), max 3 attempts.
+    (3) Arm a watchdog around the in-process init so a hang still ends in
+    one parseable JSON error line instead of a silent rc=124."""
+    if os.environ.get("BENCH_ALLOW_CPU") == "1":
+        return
+
+    attempts = int(os.environ.get("_BENCH_REEXEC_N", "0"))
+    wait_s = float(os.environ.get("BENCH_INIT_WAIT_S", 1200))
+    deadline = time.time() + wait_s
+    while not _relay_up():
+        if time.time() > deadline:
+            _emit_error_line(
+                f"TPU transport down for {wait_s:.0f}s "
+                "(no relay port listening; tunnel dead)"
+            )
+        time.sleep(15)
+
+    import threading
+
+    import jax
+
+    init_watchdog = threading.Timer(
+        float(os.environ.get("BENCH_INIT_HANG_S", 600)),
+        lambda: (_emit_error_line("PJRT backend init hung (relay port open "
+                                  "but device init never returned)")),
+    )
+    init_watchdog.daemon = True
+    init_watchdog.start()
+    try:
+        devs = jax.devices()
+        ok = devs[0].platform != "cpu"
+        err = None
+    except RuntimeError as e:
+        ok, err = False, e
+    init_watchdog.cancel()
+    if ok:
+        return
+
+    print(f"bench: backend init failed (attempt {attempts + 1}): {err}",
+          file=sys.stderr)
+    if attempts >= 3:
+        _emit_error_line(
+            "TPU backend failed to initialize after 3 re-exec attempts "
+            "(relay port answered but PJRT init kept failing)"
+        )
+    # Back off before re-exec: rapid PJRT client churn can wedge the chip
+    # claim for up to an hour (tools/README.md).
+    time.sleep(30 * (attempts + 1))
+    os.environ["_BENCH_REEXEC_N"] = str(attempts + 1)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
+_kill_stale_worker()
+_acquire_backend()
+
 import jax
 import numpy as np
 import jax.numpy as jnp
-
-REFERENCE_MS = 6.8  # readme.md:84, RTX 3080 Ti
 
 
 def time_frames(fn, scene, frames):

@@ -62,9 +62,13 @@ def densify(
     """Clone small / split large high-gradient splats (3DGS §5.2).
 
     Args:
-      position_grads: (N, 3) accumulated view-space positional gradients
-        (e.g. mean |dL/dmeans| over recent steps).
-      grad_threshold: densify splats whose gradient norm exceeds this.
+      position_grads: (N,) or (N, D) accumulated positional-gradient
+        statistic; rows are norm-reduced.  The official statistic is the
+        screen-space (viewspace mean2D, NDC-scaled) gradient norm averaged
+        over views where the splat was visible — the training loop produces
+        exactly that via its center probe (training_loop._make_step).
+      grad_threshold: densify splats whose gradient norm exceeds this
+        (2e-4 matches the official calibration for NDC-scaled grads).
       scale_threshold: world-size boundary between "clone" (small) and
         "split" (large).
       split_factor: scale reduction applied to split children.

@@ -46,6 +46,10 @@ class RenderStats(NamedTuple):
     num_pairs: jnp.ndarray  # () int32 true pair demand this frame
     budget: int  # static pair capacity
     overflowed: jnp.ndarray  # () bool: num_pairs > budget (frame truncated)
+    # (N,) bool per-splat visibility (on-screen with a non-empty tile rect)
+    # when requested via want_visibility — the official 3DGS "radii > 0"
+    # update filter for the densification statistic; None otherwise.
+    visible: jnp.ndarray | None = None
 
 
 def check_overflow(stats: RenderStats, action: str = "warn") -> bool:
@@ -144,6 +148,8 @@ def render_with_stats(
     backend: str = "jax",
     model: jnp.ndarray | None = None,
     kill_mask: jnp.ndarray | None = None,
+    center_probe: jnp.ndarray | None = None,
+    want_visibility: bool = False,
 ) -> tuple[jnp.ndarray, RenderStats]:
     """Like :func:`render` but also returns per-frame :class:`RenderStats`.
 
@@ -154,6 +160,14 @@ def render_with_stats(
     compressed blobs then decode on device inside this jitted frame (the
     reference's per-frame ``LoadSplatData`` decode,
     GaussianSplatting.hlsl:428-608), so HBM holds only the quantized asset.
+
+    ``center_probe`` is an (N, 2) zero array added to the projected splat
+    centers: differentiating w.r.t. it yields the *screen-space* positional
+    gradient (the official 3DGS densification statistic, viewspace mean2D
+    grads) without re-deriving it from world gradients.  ``want_visibility``
+    (static) additionally fills ``RenderStats.visible`` with the per-splat
+    "has a non-empty on-screen tile rect" mask — the 3DGS ``radii > 0``
+    update filter.
     """
     if hasattr(gaussians, "pos_q"):  # DeviceAsset (duck-typed: no import cycle)
         from ..io.device_asset import decode_device
@@ -164,11 +178,25 @@ def render_with_stats(
         proj = project_splats(
             gaussians, camera, settings, model=model, kill_mask=kill_mask
         )
+    if center_probe is not None:
+        proj = proj._replace(center=proj.center + center_probe)
     n = proj.depth.shape[0]
+
+    def visibility():
+        if not want_visibility:
+            return None
+        from ..ops.binning import tile_rects
+        from ..ops.tile_common import quantize_view_fp16
+
+        *_, counts, valid = tile_rects(
+            quantize_view_fp16(proj, config), camera.width, camera.height, config
+        )
+        return valid & (counts > 0)
+
     if backend == "reference":
         img = rasterize_reference(proj, camera.width, camera.height, config)
         zero = jnp.int32(0)
-        return img, RenderStats(zero, 0, zero < 0)
+        return img, RenderStats(zero, 0, zero < 0, visibility())
     budget = pair_budget(n, config)
     if backend == "jax":
         with jax.named_scope("splat_bin"):
@@ -177,23 +205,30 @@ def render_with_stats(
             num_pairs=binning.num_pairs,
             budget=budget,
             overflowed=binning.num_pairs > budget,
+            visible=visibility(),
         )
         with jax.named_scope("splat_rasterize_jax"):
             img = rasterize_tiles_jax(proj, binning, camera.width, camera.height, config)
         return img, stats
     if backend == "pallas":
-        from ..ops.binning import slot_demand
+        from ..ops.binning import tile_rects
         from ..ops.rasterize_pallas import rasterize_tiles_pallas_diff
         from ..ops.tile_common import quantize_view_fp16
 
         # N-sized, nearly free; quantized first so the bounds see the same
         # fp16-rounded opacity the pipeline's own bounds see (else
         # edge-of-budget frames could truncate while stats say otherwise).
-        num_slots = slot_demand(
+        # One tile_rects pass serves both the demand counter and the
+        # visibility mask (slot_demand's accounting, inlined).
+        *_, counts, valid = tile_rects(
             quantize_view_fp16(proj, config), camera.width, camera.height, config
         )
+        num_slots = jnp.sum(jnp.maximum(counts, 1), dtype=jnp.int32)
         stats = RenderStats(
-            num_pairs=num_slots, budget=budget, overflowed=num_slots > budget
+            num_pairs=num_slots,
+            budget=budget,
+            overflowed=num_slots > budget,
+            visible=(valid & (counts > 0)) if want_visibility else None,
         )
         with jax.named_scope("splat_rasterize_pallas"):
             img = rasterize_tiles_pallas_diff(

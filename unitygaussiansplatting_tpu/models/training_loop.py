@@ -95,19 +95,40 @@ def _remap_opt_state(opt_state, src_idx: np.ndarray, is_new: np.ndarray):
     return walk(opt_state)
 
 
-def _make_step(optimizer, settings, config, backend, ssim_weight):
-    def loss_fn(raw: RawGaussians, camera: Camera, target):
-        rt = render(raw.activate(), camera, settings, config, backend)
+def _make_step(optimizer, settings, config, backend, ssim_weight, width, height):
+    from .renderer import render_with_stats
+
+    # The official 3DGS densification statistic accumulates the norm of the
+    # loss gradient w.r.t. the *screen-space* splat centers (viewspace
+    # mean2D grads, Kerbl et al. §5.2) over splats visible in each view
+    # (radii > 0), normalized by the per-splat visibility count.  A zero
+    # (N, 2) probe added to the projected centers yields exactly that
+    # gradient; the official code differentiates w.r.t. NDC-scaled points,
+    # so the pixel-space probe grad is rescaled by (W/2, H/2) to keep the
+    # published grad_threshold=2e-4 calibration.
+    ndc_scale = jnp.asarray([width * 0.5, height * 0.5], jnp.float32)
+
+    def loss_fn(raw: RawGaussians, probe, camera: Camera, target):
+        rt, stats = render_with_stats(
+            raw.activate(), camera, settings, config, backend,
+            center_probe=probe, want_visibility=True,
+        )
         img = rt[..., :3]  # black background
-        return photometric_loss(img, target, ssim_weight)
+        return photometric_loss(img, target, ssim_weight), stats.visible
 
     @jax.jit
-    def step(raw, opt_state, camera, target):
-        loss, grads = jax.value_and_grad(loss_fn)(raw, camera, target)
+    def step(raw, opt_state, gacc, vis_count, camera, target):
+        probe = jnp.zeros_like(raw.means[:, :2])
+        (loss, visible), (grads, gprobe) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(raw, probe, camera, target)
         updates, opt_state = optimizer.update(grads, opt_state, raw)
         new_raw = optax.apply_updates(raw, updates)
-        gnorm = jnp.linalg.norm(grads.means, axis=-1)  # densify statistic
-        return loss, new_raw, opt_state, gnorm
+        # Accumulate on device: one host transfer per densify window, not
+        # one per step.
+        gacc = gacc + jnp.linalg.norm(gprobe * ndc_scale, axis=-1)
+        vis_count = vis_count + visible.astype(jnp.int32)
+        return loss, new_raw, opt_state, gacc, vis_count
 
     return step
 
@@ -158,25 +179,32 @@ def train(
             config, pair_multiplier=max(mult, config.pair_multiplier)
         )
     opt = optimizer or default_optimizer()
-    step_fn = _make_step(opt, settings, config, backend, loop.ssim_weight)
+    step_fn = _make_step(
+        opt, settings, config, backend, loop.ssim_weight,
+        cameras[0].width, cameras[0].height,
+    )
 
     n_live = int(raw.num_splats)
     capacity = _capacity_for(n_live, loop)
     raw = pad_to_capacity(raw, capacity)
     opt_state = opt.init(raw)
-    # Accumulated positional-gradient statistic over the densify window
-    # (mean |dL/dmu| as in 3DGS; padding slots keep zeros).
-    gacc = np.zeros(capacity, np.float64)
-    gcount = 0
+    # Screen-space positional-gradient statistic over the densify window
+    # (3DGS §5.2: sum of viewspace grad norms / per-splat visibility count).
+    # Both accumulators live on device; they transfer to host only at
+    # densify boundaries.
+    gacc = jnp.zeros(capacity, jnp.float32)
+    vis_count = jnp.zeros(capacity, jnp.int32)
 
     history = {"losses": [], "counts": [(0, n_live)], "events": []}
 
     for i in range(loop.steps):
         v = i % len(cameras)
-        loss, raw, opt_state, gnorm = step_fn(raw, opt_state, cameras[v], targets[v])
-        history["losses"].append(float(loss))
-        gacc += np.asarray(gnorm, np.float64)
-        gcount += 1
+        loss, raw, opt_state, gacc, vis_count = step_fn(
+            raw, opt_state, gacc, vis_count, cameras[v], targets[v]
+        )
+        # Device scalar: converted to float lazily at return so the loop
+        # doesn't block on every step's dispatch.
+        history["losses"].append(loss)
 
         do_densify = (
             loop.densify_every > 0
@@ -185,9 +213,9 @@ def train(
         )
         if do_densify:
             # Density ops run on the padded cloud: padding slots have zero
-            # grads (never cloned) and ~0 opacity (pruned away).
-            mean_grad = (gacc / max(gcount, 1)).astype(np.float32)[:, None]
-            mean_grad = np.repeat(mean_grad, 3, axis=1) / np.sqrt(3.0)
+            # grads (never cloned) and ~0 opacity (pruned away).  The ONE
+            # host transfer per densify window happens here.
+            mean_grad = np.asarray(gacc) / np.maximum(np.asarray(vis_count), 1)
             new, src_idx, is_new = densify(
                 raw,
                 mean_grad,
@@ -208,8 +236,8 @@ def train(
             src_idx = np.concatenate([src_idx, np.zeros(pad, np.int64)])
             is_new = np.concatenate([is_new, np.ones(pad, bool)])
             opt_state = _remap_opt_state(opt_state, src_idx, is_new)
-            gacc = np.zeros(capacity, np.float64)
-            gcount = 0
+            gacc = jnp.zeros(capacity, jnp.float32)
+            vis_count = jnp.zeros(capacity, jnp.int32)
             history["counts"].append((i + 1, n_live))
             history["events"].append((i + 1, "densify+prune", n_live))
 
@@ -231,6 +259,7 @@ def train(
 
     if loop.checkpoint_dir:
         save_checkpoint(os.path.join(loop.checkpoint_dir, "ckpt_final"), raw, loop.steps)
+    history["losses"] = [float(x) for x in history["losses"]]
     return raw, history
 
 
