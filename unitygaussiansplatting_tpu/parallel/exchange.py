@@ -42,6 +42,16 @@ from .mesh import SPLAT_AXIS
 from .strips import _strip_height
 
 
+def send_capacity(n_local: int, cap_frac: float) -> int:
+    """Static per-(src, dst) send-buffer capacity in splats.
+
+    The single source of truth for truncation detection: a frame is
+    truncated iff any entry of the returned ``send_demand`` matrix exceeds
+    this (the same contract as RenderStats.num_pairs vs the pair budget).
+    """
+    return min(max(cdiv(int(n_local * cap_frac), 8) * 8, 8), n_local)
+
+
 def _compact_for_dest(proj: ProjectedSplats, send_mask: jnp.ndarray, cap: int):
     """Select up to cap masked splats' view data; returns (pytree, demand)."""
     n = send_mask.shape[0]
@@ -83,7 +93,7 @@ def render_strips_culled_fn(
     def per_device(g: Gaussians) -> tuple[jnp.ndarray, jnp.ndarray]:
         proj = project_splats(g, camera, settings)
         n_l = proj.depth.shape[0]
-        cap = min(max(cdiv(int(n_l * cap_frac), 8) * 8, 8), n_l)
+        cap = send_capacity(n_l, cap_frac)
 
         # Strip range per splat from the binner's own conservative bounds.
         _, y0t, _, nyt, counts, valid = tile_rects(
