@@ -85,10 +85,19 @@ def test_overflow_truncation_is_reported_not_silent(scene, camera):
         rpal.INTERPRET = False
 
 
-def test_pack_axes_f16_matches_xla(scene, camera):
-    # With axes packing on, the fused path's f16 round-trip must equal the
-    # XLA path's (both quantize via quantize_view_fp16).
-    config = RasterizeConfig(pack_axes_f16=True)
+@pytest.mark.parametrize(
+    "config",
+    [
+        RasterizeConfig(pack_axes_f16=True),
+        RasterizeConfig(pack_color_rgba8=True),
+        RasterizeConfig(pack_axes_f16=True, pack_color_rgba8=True),
+    ],
+    ids=["axes-f16", "color-rgba8", "axes+rgba8"],
+)
+def test_pack_knobs_match_xla(scene, camera, config):
+    # With packing knobs on, the fused path's quantize/pack/unpack round
+    # trip must equal the XLA path's (both quantize via quantize_view_fp16,
+    # and the u32 payload packing must be lossless on the lattice).
     proj = project_splats(scene, camera)
     binning = bin_splats(proj, camera.width, camera.height, config)
     ref = rasterize_tiles_jax(proj, binning, camera.width, camera.height, config)
@@ -98,3 +107,23 @@ def test_pack_axes_f16_matches_xla(scene, camera):
     finally:
         rpal.INTERPRET = False
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-6)
+
+
+def test_rgba8_gradients_pass_straight_through(scene, camera):
+    # The RGBA8 quantizer must not zero gradients (round() alone would):
+    # grads through the quantized render stay finite and comparable to the
+    # unquantized path's.
+    import jax
+
+    from unitygaussiansplatting_tpu.models.renderer import render
+    from unitygaussiansplatting_tpu.utils.config import RenderSettings
+
+    def loss(g, cfg):
+        return jnp.mean(render(g, camera, RenderSettings(sh_order=0), cfg))
+
+    g8 = jax.grad(lambda g: loss(g, RasterizeConfig(pack_color_rgba8=True)))(scene)
+    gf = jax.grad(lambda g: loss(g, RasterizeConfig()))(scene)
+    n8 = float(jnp.linalg.norm(g8.base_color))
+    nf = float(jnp.linalg.norm(gf.base_color))
+    assert np.isfinite(n8) and n8 > 0
+    assert 0.5 < n8 / nf < 2.0, (n8, nf)

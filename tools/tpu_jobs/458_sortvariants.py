@@ -4,9 +4,9 @@ gc.collect(); jax.clear_caches(); gc.collect()
 # operand-count scaling — decides whether num_keys=2 unstable can replace
 # the stable fused-key sort.
 K = 25_925_632
-key = jax.random.randint(jax.random.PRNGKey(0), (K,), 0, 1 << 31, jnp.int32).astype(jnp.uint32)
+key = jax.random.bits(jax.random.PRNGKey(0), (K,), jnp.uint32)
 splat = jax.random.randint(jax.random.PRNGKey(1), (K,), 0, 6_100_000, jnp.int32)
-pay = [jax.random.randint(jax.random.PRNGKey(i), (K,), 0, 1 << 30, jnp.int32).astype(jnp.uint32) for i in range(2, 7)]
+pay = [jax.random.bits(jax.random.PRNGKey(i), (K,), jnp.uint32) for i in range(2, 7)]
 key, splat, *pay = jax.block_until_ready((key, splat, *pay))
 
 def timeit(name, fn, *args):

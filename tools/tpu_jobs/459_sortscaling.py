@@ -19,8 +19,8 @@ def timeit(name, fn, *args, reps=3):
     del o; gc.collect()
 
 def mk(k, nops):
-    key = jax.random.randint(jax.random.PRNGKey(0), (k,), 0, 1 << 31, jnp.int32).astype(jnp.uint32)
-    pay = [jax.random.randint(jax.random.PRNGKey(i + 2), (k,), 0, 1 << 30, jnp.int32).astype(jnp.uint32) for i in range(nops)]
+    key = jax.random.bits(jax.random.PRNGKey(0), (k,), jnp.uint32)
+    pay = [jax.random.bits(jax.random.PRNGKey(i + 2), (k,), jnp.uint32) for i in range(nops)]
     return jax.block_until_ready((key, *pay))
 
 # (a) operand curve, unstable (grouping sorts don't need stability).

@@ -95,6 +95,7 @@ def _expand_kernel(
     pack_color: bool,
     quad_clip: bool,
     pack_center: bool,
+    pack_rgba8: bool,
 ):
     key_ref, splat_ref = refs[0], refs[1]
     c = key_ref.shape[2]
@@ -262,7 +263,18 @@ def _expand_kernel(
         out.append(_f16_bits(row(4)) | (_f16_bits(row(5)) << 16))
     else:
         out.extend([row(2), row(3), row(4), row(5)])
-    if pack_color:
+    if pack_rgba8:
+        # Values are already on the 8-bit lattice (quantize_view_fp16), so
+        # floor(x*scale + 0.5) recovers the exact code — one u32 carries
+        # color + opacity.
+        u8 = lambda x, s: jnp.floor(x * s + 0.5).astype(jnp.int32).astype(jnp.uint32)
+        out.append(
+            u8(row(6), 127.5)
+            | (u8(row(7), 127.5) << 8)
+            | (u8(row(8), 127.5) << 16)
+            | (u8(row(9), 255.0) << 24)
+        )
+    elif pack_color:
         out.append(_f16_bits(row(6)) | (_f16_bits(row(7)) << 16))
         out.append(_f16_bits(row(8)) | (_f16_bits(row(9)) << 16))
     else:
@@ -287,6 +299,7 @@ def expand_operands(
     pack_color: bool = False,
     quad_clip: bool = True,
     pack_center: bool = False,
+    pack_rgba8: bool = False,
     interpret: bool = False,
 ):
     """Run the expansion kernel; returns the (K,)-shaped sort operand tuple
@@ -324,7 +337,10 @@ def expand_operands(
         [jnp.uint32] if pack_center else [jnp.float32, jnp.float32]
     )
     field_dtypes += [jnp.uint32] * 2 if pack_axes else [jnp.float32] * 4
-    field_dtypes += [jnp.uint32] * 2 if pack_color else [jnp.float32] * 4
+    if pack_rgba8:
+        field_dtypes += [jnp.uint32]
+    else:
+        field_dtypes += [jnp.uint32] * 2 if pack_color else [jnp.float32] * 4
     n_field_ops = len(field_dtypes)
     out_block = lambda i, r, m: (i, 0, 0)
 
@@ -355,6 +371,7 @@ def expand_operands(
             pack_color=pack_color,
             quad_clip=quad_clip,
             pack_center=pack_center,
+            pack_rgba8=pack_rgba8,
         ),
         grid_spec=grid_spec,
         out_shape=tuple(
@@ -427,6 +444,7 @@ def bin_and_prepare(
     pack_center = bool(getattr(config, "pack_center_u32", False)) and (
         config.alpha_discard > 0.0 or config.quad_clip
     )
+    pack_rgba8 = bool(getattr(config, "pack_color_rgba8", False))
     c = config.expand_chunk
     assert k % c == 0 and k % config.chunk_size == 0
     db = depth_key_bits(num_tiles)
@@ -513,6 +531,7 @@ def bin_and_prepare(
         pack_color=config.pack_color_f16,
         quad_clip=config.quad_clip,
         pack_center=pack_center,
+        pack_rgba8=pack_rgba8,
         interpret=interpret,
     )
 
@@ -555,7 +574,15 @@ def bin_and_prepare(
     else:
         axis_rows = rest[:4]
         rest = rest[4:]
-    if config.pack_color_f16:
+    if pack_rgba8:
+        (cu_s,) = rest
+        color_rows = [
+            (cu_s & 0xFF).astype(jnp.float32) / 127.5,
+            ((cu_s >> 8) & 0xFF).astype(jnp.float32) / 127.5,
+            ((cu_s >> 16) & 0xFF).astype(jnp.float32) / 127.5,
+            (cu_s >> 24).astype(jnp.float32) / 255.0,
+        ]
+    elif config.pack_color_f16:
         cu1_s, cu2_s = rest
         color_rows = [unh(cu1_s), unh(cu1_s >> 16), unh(cu2_s), unh(cu2_s >> 16)]
     else:

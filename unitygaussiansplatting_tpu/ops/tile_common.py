@@ -32,6 +32,18 @@ def _f16_round(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.abs(r) < 6.103515625e-05, 0.0, r)
 
 
+def _unorm8_round(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Round to the k/scale 8-bit lattice with straight-through gradients.
+
+    round() has zero gradient a.e., which would sever training through the
+    quantized color path; the straight-through estimator keeps the
+    quantizer an identity for the backward pass (standard practice for
+    trained quantization).
+    """
+    q = jnp.round(jnp.clip(x, 0.0, 255.0 / scale) * scale) / scale
+    return x + jax.lax.stop_gradient(q - x)
+
+
 def quantize_view_fp16(proj, config: RasterizeConfig):
     """Round projected color+opacity through fp16 when configured.
 
@@ -39,9 +51,16 @@ def quantize_view_fp16(proj, config: RasterizeConfig):
     and opacity, SplatUtilities.compute:247-248).  Idempotent; called at the
     entry of every rasterizer path so all three backends see identical
     values (the fused pipeline then carries the f16 bits losslessly as
-    packed u32 sort payloads).
+    packed u32 sort payloads).  With ``pack_color_rgba8`` the lattice is
+    RGBA8 instead (rgb over [0, 2], opacity over [0, 1]) so the fused sort
+    carries color+opacity in one u32.
     """
-    if config.pack_color_f16:
+    if getattr(config, "pack_color_rgba8", False):
+        proj = proj._replace(
+            color=_unorm8_round(proj.color, 127.5),
+            opacity=_unorm8_round(proj.opacity, 255.0),
+        )
+    elif config.pack_color_f16:
         proj = proj._replace(
             color=_f16_round(proj.color),
             opacity=_f16_round(proj.opacity),

@@ -125,3 +125,13 @@ class RasterizeConfig:
     # be active (alpha_discard > 0 or quad_clip) — silently ignored
     # otherwise.
     pack_center_u32: bool = dataclasses.field(default=False, metadata={"static": True})
+    # Quantize pair colors to RGBA8 (rgb 8 bits over [0, 2], opacity 8 bits
+    # over [0, 1]) so the fused sort carries color+opacity as ONE packed u32
+    # payload instead of two (saves another sort operand, ~27-31 ms at
+    # bicycle scale).  Coarser than the asset's own Norm8 color only in the
+    # SH-shaded view-dependent part; gradients pass straight-through.
+    # Supersedes pack_color_f16's rounding when set.  Applied consistently
+    # in all backends.  Off by default (the reference's SplatViewData is
+    # f16, SplatUtilities.compute:247-248); the benchmark enables it if the
+    # measured quality holds.
+    pack_color_rgba8: bool = dataclasses.field(default=False, metadata={"static": True})
