@@ -280,10 +280,11 @@ def main():
         pair_multiplier=float(os.environ.get("BENCH_PAIR_MULT", 4.25)),
         pack_axes_f16=True,
         pack_grads_bf16=True,
-        # Opt-in (~31 ms: one sort operand instead of two): rotated-frame
-        # center quantization — coarser than the other pack knobs (rare
-        # ~1e-2 pixel deltas at discard thresholds), so off by default.
-        pack_center_u32=os.environ.get("BENCH_PACK_CENTER", "0") == "1",
+        # Rotated-frame center quantization: one sort operand instead of
+        # two.  Measured fwd 505 -> 456 ms / fwd+bwd 1056 -> 1033 ms
+        # (tools/tpu_jobs/457, r3); coarser than the other pack knobs (rare
+        # ~1e-2 pixel deltas at discard thresholds).
+        pack_center_u32=os.environ.get("BENCH_PACK_CENTER", "1") == "1",
     )
 
     def make_fns(cam, cfg):

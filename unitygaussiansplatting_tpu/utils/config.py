@@ -119,8 +119,9 @@ class RasterizeConfig:
     # the quantization tolerance scales with the same axis as the range
     # (12-bit major / 17-bit minor offsets -> ~7e-4 error in the q
     # coordinates even at extreme anisotropy), bounded by the
-    # ellipse-interval cull's survival guarantee.  Saves one sort operand
-    # (~31 ms at bicycle scale).  Lossy and pallas-pipeline-internal (other
+    # ellipse-interval cull's survival guarantee.  Saves one sort operand:
+    # measured fwd 505 -> 456 ms at bicycle scale (tools/tpu_jobs/457, r3);
+    # the benchmark enables it.  Lossy and pallas-pipeline-internal (other
     # backends keep f32 centers), so off by default; requires the cull to
     # be active (alpha_discard > 0 or quad_clip) — silently ignored
     # otherwise.
