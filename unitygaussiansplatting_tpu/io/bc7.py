@@ -35,6 +35,71 @@ WEIGHTS4 = np.array(
     [0, 4, 9, 13, 17, 21, 26, 30, 34, 38, 43, 47, 51, 55, 60, 64], np.int32
 )
 
+# 2-subset partition masks (64, 16) and subset-1 anchor positions (64,),
+# derived EMPIRICALLY from the battle-tested Pillow decoder on first use
+# (see _derive_mode7_tables) — hand-transcribing the spec tables is the
+# classic way to ship a silently-wrong codec, and the derivation doubles as
+# a continuous cross-check of our bit packing against the decoder.
+MODE7_PARTITIONS: np.ndarray | None = None
+MODE7_ANCHOR2: np.ndarray | None = None
+
+
+def _derive_mode7_tables() -> None:
+    """Populate MODE7_PARTITIONS / MODE7_ANCHOR2 by probing the decoder.
+
+    Probe 1 (membership): per partition, a mode-7 block with subset-0
+    endpoints black and subset-1 endpoints white, all index bits 0 —
+    decoded white pixels belong to subset 1.
+
+    Probe 2 (anchors): same endpoints per subset (e0 black / e1 white for
+    BOTH subsets), every index bit set — non-anchor pixels read index 3
+    (weight 64 -> 255), anchor pixels read a 1-bit index 1 (weight 21 ->
+    84): the two 84-valued pixels are the anchors; one is pixel 0, the
+    other is the subset-1 anchor.
+    """
+    global MODE7_PARTITIONS, MODE7_ANCHOR2
+    if MODE7_PARTITIONS is not None:
+        return
+
+    def raw_block(part: int, endpoints, idx_bits_all_on: bool) -> bytes:
+        bits = np.zeros(128, np.uint8)
+        bits[7] = 1
+        pos = 8
+        for k in range(6):
+            bits[pos + k] = (part >> k) & 1
+        pos += 6
+        for c in range(4):
+            for e in endpoints:  # s0e0, s0e1, s1e0, s1e1: 5-bit values
+                v = e[c]
+                for k in range(5):
+                    bits[pos + k] = (v >> k) & 1
+                pos += 5
+        pos += 4  # pbits 0
+        if idx_bits_all_on:
+            bits[pos:128] = 1
+        return np.packbits(bits, bitorder="little").tobytes()
+
+    black = (0, 0, 0, 31)
+    white = (31, 31, 31, 31)
+    # One 4x(64*4) texture per probe: partition p occupies block column p.
+    mem = b"".join(raw_block(p, [black, black, white, white], False) for p in range(64))
+    anc = b"".join(raw_block(p, [black, white, black, white], True) for p in range(64))
+    mem_px = decode_bc7(mem, 64 * 4, 4)
+    anc_px = decode_bc7(anc, 64 * 4, 4)
+
+    parts = np.zeros((64, 16), np.int32)
+    anchors = np.zeros(64, np.int32)
+    for p in range(64):
+        blk_m = mem_px[:, p * 4 : (p + 1) * 4, 0].reshape(16)
+        parts[p] = (blk_m > 127).astype(np.int32)
+        blk_a = anc_px[:, p * 4 : (p + 1) * 4, 0].reshape(16)
+        cand = np.nonzero(np.abs(blk_a.astype(np.int32) - 84) < 3)[0]
+        assert len(cand) == 2 and cand[0] == 0, (p, cand, blk_a)
+        anchors[p] = cand[1]
+        assert parts[p, 0] == 0 and parts[p, anchors[p]] == 1, (p, parts[p])
+    MODE7_PARTITIONS = parts
+    MODE7_ANCHOR2 = anchors
+
 
 def decode_bc7(data: bytes, width: int, height: int) -> np.ndarray:
     """Decode raw BC7 blocks to (height, width, 4) uint8 RGBA."""
@@ -161,6 +226,43 @@ def _interp(e0, e1, idx, weights):
     return ((64 - w[..., None]) * e0[:, None] + w[..., None] * e1[:, None] + 32) >> 6
 
 
+def _pack_blocks_mode7(e0q, e1q, e2q, e3q, pbits, idx, part) -> np.ndarray:
+    """All mode-7 blocks: 2 subsets, 6-bit partition, RGBA 5-bit endpoints
+    (order per channel: s0e0, s0e1, s1e0, s1e1) + 4 per-endpoint pbits +
+    one 2-bit index plane with two 1-bit anchors (pixel 0 and the
+    partition's subset-1 anchor).  ``idx`` must already satisfy the anchor
+    MSB-0 constraints."""
+    b = e0q.shape[0]
+    bits = np.zeros((b, 128), np.uint8)
+
+    def put(pos: int, val: np.ndarray, n: int) -> int:
+        for k in range(n):
+            bits[:, pos + k] = (val >> k) & 1
+        return pos + n
+
+    bits[:, 7] = 1  # mode-7 marker (seven 0 bits then a 1)
+    pos = put(8, part, 6)
+    for c in range(4):
+        for e in (e0q, e1q, e2q, e3q):
+            pos = put(pos, e[:, c], 5)
+    for j in range(4):
+        pos = put(pos, pbits[:, j], 1)
+    # The subset-1 anchor position varies per block (per partition), which
+    # shifts every later index's bit offset — pack per anchor-position
+    # group (<= 16 distinct values).
+    anchor2 = MODE7_ANCHOR2[part]  # (B,)
+    for a2 in np.unique(anchor2):
+        rows = np.nonzero(anchor2 == a2)[0]
+        p2 = pos
+        for i in range(16):
+            n = 1 if (i == 0 or i == a2) else 2
+            for k in range(n):
+                bits[rows, p2 + k] = (idx[rows, i] >> k) & 1
+            p2 += n
+        assert p2 == 128, p2
+    return bits
+
+
 def _encode_mode5(blocks4: np.ndarray):
     """Mode-5 encode of (B, 16, 4) int blocks -> (bits (B, 128), recon)."""
     rgb = blocks4[..., :3]
@@ -234,6 +336,132 @@ def _quantize7p(e: np.ndarray):
     return out
 
 
+def _fit_indices_masked(blocks, e0, e1, weights, mask):
+    """As _fit_indices, but only mask pixels matter (others get index 0)."""
+    idx = _fit_indices(blocks, e0, e1, weights)
+    return np.where(mask, idx, 0)
+
+
+def _refine_endpoints_masked(vals, mask, weights, iters: int = 2):
+    """Masked variant of _refine_endpoints: fit one endpoint segment to the
+    subset of pixels selected by ``mask`` (B, 16).  Starts from the masked
+    bounding box.  Returns float (B, D) endpoint pairs."""
+    vals = vals.astype(np.float32)
+    m = mask.astype(np.float32)[..., None]  # (B, 16, 1)
+    big = np.float32(1e9)
+    e0 = np.min(np.where(m > 0, vals, big), axis=1)
+    e1 = np.max(np.where(m > 0, vals, -big), axis=1)
+    empty = ~mask.any(axis=1)
+    e0[empty] = 0.0
+    e1[empty] = 0.0
+    for _ in range(iters):
+        idx = _fit_indices(vals, e0, e1, weights)
+        w = weights[idx].astype(np.float32) / 64.0 * m[..., 0]  # masked weights
+        x = (1.0 - weights[idx].astype(np.float32) / 64.0) * m[..., 0]
+        sxx = np.sum(x * x, axis=-1)
+        syy = np.sum(w * w, axis=-1)
+        sxy = np.sum(x * w, axis=-1)
+        det = sxx * syy - sxy * sxy
+        bx = np.einsum("bi,bid->bd", x, vals)
+        by = np.einsum("bi,bid->bd", w, vals)
+        ok = (det > 1e-4)[:, None]
+        inv = 1.0 / np.maximum(det, 1e-12)[:, None]
+        n0 = (syy[:, None] * bx - sxy[:, None] * by) * inv
+        n1 = (sxx[:, None] * by - sxy[:, None] * bx) * inv
+        e0 = np.where(ok, np.clip(n0, 0.0, 255.0), e0)
+        e1 = np.where(ok, np.clip(n1, 0.0, 255.0), e1)
+    return e0, e1
+
+
+def _quantize5p(e: np.ndarray):
+    """Mode-7 endpoint quantization: 5 stored bits + a per-endpoint pbit;
+    reconstruction is val6 = (v << 1) | p, then (val6 << 2) | (val6 >> 4).
+    Returns (v (B, 4), p (B,), reconstructed (B, 4))."""
+    t = np.clip(np.round(e), 0, 255).astype(np.int32)
+    best_err = None
+    out = None
+    for p in (0, 1):
+        v = np.clip(((t >> 2) - p) >> 1, 0, 31)
+        cand = np.stack([v, np.minimum(v + 1, 31)], axis=-1)
+        v6 = (cand << 1) | p
+        rec = (v6 << 2) | (v6 >> 4)
+        pick = np.argmin(np.abs(rec - t[..., None]), axis=-1)
+        v = np.take_along_axis(cand, pick[..., None], axis=-1)[..., 0]
+        v6 = (v << 1) | p
+        rec = (v6 << 2) | (v6 >> 4)
+        err = np.sum((rec - t) ** 2, axis=-1)
+        if best_err is None:
+            best_err, out = err, (v, np.full(err.shape, p, np.int32), rec)
+        else:
+            m = err < best_err
+            best_err = np.where(m, err, best_err)
+            out = (
+                np.where(m[:, None], v, out[0]),
+                np.where(m, p, out[1]),
+                np.where(m[:, None], rec, out[2]),
+            )
+    return out
+
+
+def _encode_mode7(blocks4: np.ndarray, partitions=None):
+    """Mode-7 encode of (B, 16, 4) int blocks -> (bits (B, 128), recon).
+
+    2 subsets with a per-block partition search: splits bimodal blocks
+    (two surfaces meeting in one chunk of Morton order) that a single
+    endpoint segment cannot represent.  ``partitions``: iterable of
+    partition ids to search (default: all 64)."""
+    _derive_mode7_tables()
+    b = blocks4.shape[0]
+    vals = blocks4.astype(np.float32)
+    if partitions is None:
+        partitions = range(64)
+
+    best = None
+    for p in partitions:
+        mask1 = MODE7_PARTITIONS[p].astype(bool)[None, :].repeat(b, axis=0)
+        mask0 = ~mask1
+        e0f, e1f = _refine_endpoints_masked(vals, mask0, WEIGHTS2)
+        e2f, e3f = _refine_endpoints_masked(vals, mask1, WEIGHTS2)
+        e0q, p0, e0 = _quantize5p(e0f)
+        e1q, p1, e1 = _quantize5p(e1f)
+        e2q, p2, e2 = _quantize5p(e2f)
+        e3q, p3, e3 = _quantize5p(e3f)
+        idx0 = _fit_indices_masked(blocks4, e0, e1, WEIGHTS2, mask0)
+        idx1 = _fit_indices_masked(blocks4, e2, e3, WEIGHTS2, mask1)
+        a2 = MODE7_ANCHOR2[p]
+        # Anchor MSB-0 constraints per subset.
+        swap0 = idx0[:, 0] > 1
+        e0q, e1q = np.where(swap0[:, None], e1q, e0q), np.where(swap0[:, None], e0q, e1q)
+        p0, p1 = np.where(swap0, p1, p0), np.where(swap0, p0, p1)
+        e0, e1 = np.where(swap0[:, None], e1, e0), np.where(swap0[:, None], e0, e1)
+        idx0 = np.where(swap0[:, None] & mask0, 3 - idx0, idx0)
+        swap1 = idx1[:, a2] > 1
+        e2q, e3q = np.where(swap1[:, None], e3q, e2q), np.where(swap1[:, None], e2q, e3q)
+        p2, p3 = np.where(swap1, p3, p2), np.where(swap1, p2, p3)
+        e2, e3 = np.where(swap1[:, None], e3, e2), np.where(swap1[:, None], e2, e3)
+        idx1 = np.where(swap1[:, None] & mask1, 3 - idx1, idx1)
+        idx = np.where(mask1, idx1, idx0)
+        rec0 = _interp(e0, e1, idx, WEIGHTS2)
+        rec1 = _interp(e2, e3, idx, WEIGHTS2)
+        recon = np.where(mask1[..., None], rec1, rec0)
+        sse = np.sum((recon - blocks4) ** 2, axis=(1, 2))
+        entry = (sse, np.full(b, p, np.int32), e0q, e1q, e2q, e3q,
+                 np.stack([p0, p1, p2, p3], axis=1), idx, recon)
+        if best is None:
+            best = entry
+        else:
+            better = sse < best[0]
+            best = tuple(
+                np.where(
+                    better.reshape((-1,) + (1,) * (x.ndim - 1)), x, bx
+                )
+                for x, bx in zip(entry, best)
+            )
+    sse, part, e0q, e1q, e2q, e3q, pbits, idx, recon = best
+    bits = _pack_blocks_mode7(e0q, e1q, e2q, e3q, pbits, idx, part)
+    return bits, recon
+
+
 def _encode_mode6(blocks4: np.ndarray):
     """Mode-6 encode of (B, 16, 4) int blocks -> (bits (B, 128), recon).
 
@@ -259,9 +487,13 @@ def _encode_mode6(blocks4: np.ndarray):
     return _pack_blocks_mode6(e0s, e1s, p0s, p1s, idxs), recon
 
 
-def encode_bc7(rgba: np.ndarray) -> bytes:
-    """Encode (H, W, 4) uint8 RGBA as BC7, best of mode 5 / mode 6 per block
-    (H, W % 4 == 0)."""
+def encode_bc7(rgba: np.ndarray, mode7: bool = True) -> bytes:
+    """Encode (H, W, 4) uint8 RGBA as BC7 (H, W % 4 == 0).
+
+    Per block, the best of mode 5 (independent 2-bit color/alpha planes),
+    mode 6 (shared 4-bit plane) and — unless ``mode7=False`` — mode 7
+    (2 subsets, full 64-partition search) by reconstruction SSE.
+    """
     h, w, _ = rgba.shape
     if w % 4 or h % 4:
         raise ValueError(f"BC7 dimensions must be multiples of 4: {w}x{h}")
@@ -272,11 +504,16 @@ def encode_bc7(rgba: np.ndarray) -> bytes:
         .reshape(-1, 16, 4)
         .astype(np.int32)
     )
-    bits5, rec5 = _encode_mode5(blocks4)
-    bits6, rec6 = _encode_mode6(blocks4)
-    sse5 = np.sum((rec5 - blocks4) ** 2, axis=(1, 2))
-    sse6 = np.sum((rec6 - blocks4) ** 2, axis=(1, 2))
-    bits = np.where((sse6 < sse5)[:, None], bits6, bits5)
+    bits, rec = _encode_mode5(blocks4)
+    sse = np.sum((rec - blocks4) ** 2, axis=(1, 2))
+    candidates = [_encode_mode6(blocks4)]
+    if mode7:
+        candidates.append(_encode_mode7(blocks4))
+    for bits_c, rec_c in candidates:
+        sse_c = np.sum((rec_c - blocks4) ** 2, axis=(1, 2))
+        better = sse_c < sse
+        bits = np.where(better[:, None], bits_c, bits)
+        sse = np.where(better, sse_c, sse)
     return np.packbits(bits, axis=1, bitorder="little").tobytes()
 
 
