@@ -11,17 +11,18 @@ texture units.  TPUs have no BC hardware, so:
   classic way to ship a silently-wrong decoder, so we deliberately depend
   on the battle-tested one and pin it with hand-computed block vectors in
   tests);
-- **encode** is a vectorized two-mode encoder choosing per 4x4 block the
-  better of mode 5 (RGB 7.7.7 x2 + A 8 x2, independent 2-bit color/alpha
+- **encode** is a vectorized three-mode encoder choosing per 4x4 block the
+  best of mode 5 (RGB 7.7.7 x2 + A 8 x2, independent 2-bit color/alpha
   index planes — robust when the block's opacity is uncorrelated with its
-  color) and mode 6 (RGBA 7.7.7.7+pbit x2, one shared 4-bit index plane —
+  color), mode 6 (RGBA 7.7.7.7+pbit x2, one shared 4-bit index plane —
   4x the interpolation levels, the winner on smooth blocks where
-  chunk-normalized opacity is locally flat).  Endpoints start from the
-  bounding box and are refined by alternating index-fit /
-  least-squares refit.  Measured on a capture-statistics color texture
-  (tools/measure_bc7.py) this lands within ~1 dB of a full-search
-  single-subset encoder; the remaining reference gap is the 2-subset
-  partition modes, which matter mainly on sharp-edge photographic content.
+  chunk-normalized opacity is locally flat) and mode 7 (2 subsets with a
+  full 64-partition search — splits bimodal blocks where two surfaces
+  meet in one Morton chunk).  Endpoints start from the bounding box and
+  are refined by alternating index-fit / least-squares refit; the
+  partition/anchor tables are derived empirically from the decoder
+  (_derive_mode7_tables).  Measured on a capture-statistics color texture
+  (tools/measure_bc7.py): mode5 25.2 -> +mode6 29.4 -> +mode7 30.1 dB.
 """
 
 from __future__ import annotations
