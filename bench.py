@@ -214,6 +214,12 @@ def time_frames(fn, scene, frames):
     return (time.perf_counter() - t0) / frames * 1000.0
 
 
+# Progressively-filled result: the watchdog emits whatever has been
+# measured so far instead of discarding a healthy headline because a
+# later extra (or its compile) overran the deadline.
+_RESULT: dict = {}
+
+
 def _arm_watchdog():
     """Guarantee bench terminates with one parseable JSON line even if the
     TPU transport wedges (device init or a dispatch hanging forever).  The
@@ -222,9 +228,16 @@ def _arm_watchdog():
     import json
     import threading
 
-    deadline = float(os.environ.get("BENCH_WATCHDOG_S", 2400))
+    deadline = float(os.environ.get("BENCH_WATCHDOG_S", 3300))
 
     def fire():
+        if _RESULT.get("value") is not None:
+            _RESULT["truncated"] = (
+                f"extras cut short at the {deadline:.0f}s watchdog; "
+                "headline metric is complete"
+            )
+            print(json.dumps(_RESULT), flush=True)
+            os._exit(0)
         print(
             json.dumps(
                 {
@@ -308,21 +321,24 @@ def main():
     fn = frame_bwd if mode == "fwd_bwd" else frame
     ms_per_frame = time_frames(fn, scene, frames)
 
-    result = {
-        "metric": (
-            f"{'fwd+bwd' if mode == 'fwd_bwd' else 'fwd'} ms/frame, synthetic "
-            f"bicycle-class {n} splats @{width}x{height} SH3 "
-            f"({backend} backend, v5e chip)"
-        ),
-        "value": round(ms_per_frame, 3),
-        "unit": "ms",
-        # vs the reference's published *forward-only* 6.8 ms (it has no
-        # backward at all, BASELINE.md).
-        "vs_baseline": round(REFERENCE_MS / ms_per_frame, 4),
-    }
+    result = _RESULT  # progressively filled: the watchdog emits it as-is
+    result.update(
+        {
+            "metric": (
+                f"{'fwd+bwd' if mode == 'fwd_bwd' else 'fwd'} ms/frame, synthetic "
+                f"bicycle-class {n} splats @{width}x{height} SH3 "
+                f"({backend} backend, v5e chip)"
+            ),
+            "value": round(ms_per_frame, 3),
+            "unit": "ms",
+            # vs the reference's published *forward-only* 6.8 ms (it has no
+            # backward at all, BASELINE.md).
+            "vs_baseline": round(REFERENCE_MS / ms_per_frame, 4),
+        }
+    )
 
     if not skip_extras:
-        extras = []
+        extras = result.setdefault("extra_metrics", [])
         if mode == "fwd_bwd":
             fwd_ms = time_frames(frame, scene, frames)
             extras.append(
@@ -366,8 +382,6 @@ def main():
                 "vs_baseline": round(REFERENCE_MS / real_ms, 4),
             }
         )
-        result["extra_metrics"] = extras
-
         # Device-resident compressed rendering (the reference's 1.3 GB-VRAM
         # story, readme.md:83-84): render the headline scene straight from
         # Medium-preset quantized blobs and report the footprint ratio.
