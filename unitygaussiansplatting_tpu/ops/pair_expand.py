@@ -541,7 +541,12 @@ def bin_and_prepare(
         ).astype(jnp.float32)
 
     if need_splat_ids:
-        sorted_ = jax.lax.sort(operands, num_keys=1, is_stable=True)
+        # (key, splat) is UNIQUE over live pairs (a splat contributes at
+        # most one pair per tile), so the unstable 2-key sort is
+        # bit-identical to the stable 1-key sort at the canonical
+        # (fused key, splat id) order — and measured 35 ms cheaper at
+        # bicycle scale (tools/tpu_jobs/458: stable 249 -> 2-key 215 ms).
+        sorted_ = jax.lax.sort(operands, num_keys=2, is_stable=False)
         key_s, splat_s = sorted_[0], sorted_[1]
         rest = list(sorted_[2:])
     else:
