@@ -328,13 +328,13 @@ def _diff_fwd(proj, width, height, config):
     out, raw = composite_pallas(
         fields, schedule, width, height, config, return_raw=True
     )
-    return out, (proj, binning, fields, raw)
+    return out, (proj, binning, fields, raw, schedule)
 
 
 def _diff_bwd(width, height, config, res, g):
     import numpy as _np
 
-    proj, binning, fields, raw = res
+    proj, binning, fields, raw, schedule = res
     n = proj.depth.shape[0]
 
     if getattr(config, "pallas_backward", True):
@@ -346,7 +346,6 @@ def _diff_bwd(width, height, config, res, g):
 
         tiles_x, tiles_y = tile_grid(width, height, config)
         num_tiles = tiles_x * tiles_y
-        schedule = build_schedule(binning, num_tiles, config.chunk_size)
         dout_raw = tile_layout(g, width, height, config)
         dsteps = composite_pallas_bwd(
             fields, schedule, raw, dout_raw, width, height, config
