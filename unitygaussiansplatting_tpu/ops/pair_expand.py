@@ -413,10 +413,11 @@ def bin_and_prepare(
     ``num_pairs`` counts slot demand including the one sentinel pair per
     dead splat.
 
-    ``need_splat_ids=False`` (inference path: the backward sorts are the
-    only consumers of ``pair_rank`` *values*) drops the splat id from the
-    K-sort's payloads — each payload operand costs ~31 ms at bicycle scale —
-    and returns the unsorted ids as a shape-only placeholder.
+    ``need_splat_ids`` is retained for API compatibility but ignored: with
+    the 2-key unstable sort, carrying the splat id as the tie-break key is
+    a net perf WIN over dropping it (one extra operand ~27 ms vs the ~39 ms
+    stable->unstable saving, tools/tpu_jobs/458-459), so ``pair_rank`` is
+    always valid.
     """
     from .binning import (
         depth_key_bits,
@@ -540,25 +541,19 @@ def bin_and_prepare(
             u.astype(jnp.uint16), jnp.float16
         ).astype(jnp.float32)
 
-    if need_splat_ids:
-        # (key, splat) is UNIQUE over live pairs (a splat contributes at
-        # most one pair per tile), so the unstable 2-key sort is
-        # bit-identical to the stable 1-key sort at the canonical
-        # (fused key, splat id) order — and measured 35 ms cheaper at
-        # bicycle scale (tools/tpu_jobs/458: stable 249 -> 2-key 215 ms).
-        sorted_ = jax.lax.sort(operands, num_keys=2, is_stable=False)
-        key_s, splat_s = sorted_[0], sorted_[1]
-        rest = list(sorted_[2:])
-    else:
-        sorted_ = jax.lax.sort(
-            operands[:1] + operands[2:], num_keys=1, is_stable=True
-        )
-        # Shape-only placeholder: every id is the out-of-range sentinel
-        # `n` so a consumer reading pair_rank/pair_splat from a
-        # forward-only binning fails loudly instead of silently using
-        # unsorted ids.
-        key_s, splat_s = sorted_[0], jnp.full_like(operands[1], n)
-        rest = list(sorted_[1:])
+    # (key, splat) is UNIQUE over meaningful pairs (a splat contributes at
+    # most one pair per tile; never-used tail slots beyond num_slots share
+    # a sentinel (key, splat) but carry identical zero payloads), so the
+    # unstable 2-key sort is bit-identical to the stable 1-key sort at the
+    # canonical (fused key, splat id) order — and measured cheaper at
+    # bicycle scale (tools/tpu_jobs/458: stable 249 -> 2-key unstable
+    # 215 ms).  The forward-only path keeps the splat operand too: +1
+    # payload costs ~27 ms but unstable saves ~39, a net win that also
+    # makes pair_rank always-valid (no sentinel placeholder).
+    del need_splat_ids  # retained for API compatibility; always carried now
+    sorted_ = jax.lax.sort(operands, num_keys=2, is_stable=False)
+    key_s, splat_s = sorted_[0], sorted_[1]
+    rest = list(sorted_[2:])
 
     tile_bounds = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << db).astype(
         jnp.uint32

@@ -289,7 +289,6 @@ def rasterize_tiles_pallas(
     num_tiles = tiles_x * tiles_y
     binning, fields, _ = bin_and_prepare(
         proj, width, height, config, interpret=interpret or _interp(),
-        need_splat_ids=False,  # no backward here: skip the id sort payload
     )
     schedule = build_schedule(binning, num_tiles, config.chunk_size)
     return composite_pallas(fields, schedule, width, height, config, interpret)
