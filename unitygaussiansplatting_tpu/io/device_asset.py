@@ -332,8 +332,17 @@ def decode_device(da: DeviceAsset) -> Gaussians:
         shmin = jnp.stack(shmin_c, axis=-1)
         shmax = jnp.stack(shmax_c, axis=-1)
 
-        cid = jnp.arange(n, dtype=jnp.int32) // F.CHUNK_SIZE
-        rep = lambda a: jnp.take(a, cid, axis=0)
+        # Chunk-constant broadcast: NOT a gather (XLA gathers cost ~8 ns
+        # per index — ~10 of them at 6.1M indices were ~300 ms of the
+        # compressed-render frame); jnp.repeat with a static count lowers
+        # to broadcast+reshape, which is bandwidth-free here.
+        nchunks = info.shape[0]
+
+        def rep(a):
+            r = jnp.repeat(
+                a, F.CHUNK_SIZE, axis=0, total_repeat_length=nchunks * F.CHUNK_SIZE
+            )
+            return r[:n]
         pos = rep(pmin) + pos * (rep(pmax) - rep(pmin))
         scale = rep(smin) + scale * (rep(smax) - rep(smin))
         s2 = scale * scale
