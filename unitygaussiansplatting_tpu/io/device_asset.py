@@ -188,40 +188,31 @@ def device_asset_from_asset(asset: GaussianSplatAssetData) -> DeviceAsset:
 #     which mirror GaussianSplatting.hlsl:261-304) ---
 
 
+def _dec_bitfields_j(u, shifts, masks):
+    """Broadcast-formula bit-field decode: u (...,) uint32 -> (..., len(shifts)).
+
+    out[..., j] = ((u >> shifts[j]) & masks[j]) / masks[j], computed as ONE
+    elementwise expression over the output shape — a ``jnp.stack`` of
+    per-column vectors lowers to cross-lane interleaves on TPU (~8 ns per
+    element, ~50 ms per decoded field at 6.1M splats); the broadcast form
+    reads u via lane-broadcast and writes each output tile in place.
+    """
+    u = u.astype(jnp.uint32)[..., None]
+    sh = jnp.asarray(shifts, jnp.uint32)
+    mk = jnp.asarray(masks, jnp.uint32)
+    return ((u >> sh) & mk).astype(jnp.float32) / mk.astype(jnp.float32)
+
+
 def _dec_norm11_j(u):
-    u = u.astype(jnp.uint32)
-    return jnp.stack(
-        [
-            (u & 2047).astype(jnp.float32) / 2047.0,
-            ((u >> 11) & 1023).astype(jnp.float32) / 1023.0,
-            ((u >> 21) & 2047).astype(jnp.float32) / 2047.0,
-        ],
-        axis=-1,
-    )
+    return _dec_bitfields_j(u, (0, 11, 21), (2047, 1023, 2047))
 
 
 def _dec_norm655_j(u):
-    u = u.astype(jnp.uint32)
-    return jnp.stack(
-        [
-            (u & 63).astype(jnp.float32) / 63.0,
-            ((u >> 6) & 31).astype(jnp.float32) / 31.0,
-            ((u >> 11) & 31).astype(jnp.float32) / 31.0,
-        ],
-        axis=-1,
-    )
+    return _dec_bitfields_j(u, (0, 6, 11), (63, 31, 31))
 
 
 def _dec_norm565_j(u):
-    u = u.astype(jnp.uint32)
-    return jnp.stack(
-        [
-            (u & 31).astype(jnp.float32) / 31.0,
-            ((u >> 5) & 63).astype(jnp.float32) / 63.0,
-            ((u >> 11) & 31).astype(jnp.float32) / 31.0,
-        ],
-        axis=-1,
-    )
+    return _dec_bitfields_j(u, (0, 5, 11), (31, 63, 31))
 
 
 def _dec_vector_j(q, fmt: F.VectorFormat):
@@ -256,30 +247,15 @@ def decode_device(da: DeviceAsset) -> Gaussians:
     n = da.splat_count
     pos = _dec_vector_j(da.pos_q, da.pos_format)
     scale = _dec_vector_j(da.scale_q, da.scale_format)
-    rot_pq = jnp.stack(
-        [
-            (da.rot_q & 1023).astype(jnp.float32) / 1023.0,
-            ((da.rot_q >> 10) & 1023).astype(jnp.float32) / 1023.0,
-            ((da.rot_q >> 20) & 1023).astype(jnp.float32) / 1023.0,
-            ((da.rot_q >> 30) & 3).astype(jnp.float32) / 3.0,
-        ],
-        axis=-1,
-    )
+    rot_pq = _dec_bitfields_j(da.rot_q, (0, 10, 20, 30), (1023, 1023, 1023, 3))
     rot = unpack_smallest3(rot_pq)
 
     cf = da.color_format
     # BC7 blocks were decoded to Norm8x4-equivalent words at upload.
     if cf in (F.ColorFormat.Norm8x4, F.ColorFormat.BC7):
-        u = da.color_q
-        colrgba = jnp.stack(
-            [
-                (u & 0xFF).astype(jnp.float32),
-                ((u >> 8) & 0xFF).astype(jnp.float32),
-                ((u >> 16) & 0xFF).astype(jnp.float32),
-                ((u >> 24) & 0xFF).astype(jnp.float32),
-            ],
-            axis=-1,
-        ) / 255.0
+        colrgba = _dec_bitfields_j(
+            da.color_q, (0, 8, 16, 24), (0xFF, 0xFF, 0xFF, 0xFF)
+        )
     elif cf == F.ColorFormat.Float16x4:
         r, g = _f16_pair_split_j(da.color_q[:, 0])
         b, a = _f16_pair_split_j(da.color_q[:, 1])
