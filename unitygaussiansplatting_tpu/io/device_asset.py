@@ -227,6 +227,34 @@ def _dec_vector_j(q, fmt: F.VectorFormat):
     raise ValueError(fmt)
 
 
+def _cols_bitfields_j(u, shifts, masks):
+    """Planar variant of _dec_bitfields_j: list of 1-D (N,) columns."""
+    u = u.astype(jnp.uint32)
+    return [
+        ((u >> s) & m).astype(jnp.float32) / float(m)
+        for s, m in zip(shifts, masks)
+    ]
+
+
+def _cols_vector_j(q, fmt: F.VectorFormat):
+    """Decode a packed vector blob to three PLANAR (N,) columns.
+
+    The decode pipeline computes everything in 1-D columns and stacks once
+    per output field: rank-3 broadcast intermediates and per-column stacks
+    at (N, 3) shapes lane-pad / interleave on TPU (measured ~50 ms per
+    field at 6.1M splats vs ~1 ms planar).
+    """
+    if fmt == F.VectorFormat.Float32:
+        return [q[:, j].astype(jnp.float32) for j in range(3)]
+    if fmt == F.VectorFormat.Norm16:
+        return [q[:, j].astype(jnp.float32) / 65535.0 for j in range(3)]
+    if fmt == F.VectorFormat.Norm11:
+        return _cols_bitfields_j(q, (0, 11, 21), (2047, 1023, 2047))
+    if fmt == F.VectorFormat.Norm6:
+        return _cols_bitfields_j(q, (0, 6, 11), (63, 31, 31))
+    raise ValueError(fmt)
+
+
 def _f16_bits_to_f32(u16):
     return jax.lax.bitcast_convert_type(
         u16.astype(jnp.uint16), jnp.float16
@@ -243,29 +271,33 @@ def decode_device(da: DeviceAsset) -> Gaussians:
     The jnp mirror of ``LoadSplatData`` (GaussianSplatting.hlsl:428-608);
     fuse it under the render jit so splats decode from the compressed
     words on the fly.
+
+    All per-splat math runs on PLANAR 1-D columns and each output field is
+    stacked exactly once at the end: rank-3 repeat intermediates and
+    per-column interleaves at (N, 3) shapes cost ~50 ms per field at 6.1M
+    splats on TPU (measured, tools/tpu_jobs/467-468), the planar form ~1 ms.
     """
     n = da.splat_count
-    pos = _dec_vector_j(da.pos_q, da.pos_format)
-    scale = _dec_vector_j(da.scale_q, da.scale_format)
+    pos_cols = _cols_vector_j(da.pos_q, da.pos_format)
+    scale_cols = _cols_vector_j(da.scale_q, da.scale_format)
     rot_pq = _dec_bitfields_j(da.rot_q, (0, 10, 20, 30), (1023, 1023, 1023, 3))
     rot = unpack_smallest3(rot_pq)
 
     cf = da.color_format
     # BC7 blocks were decoded to Norm8x4-equivalent words at upload.
     if cf in (F.ColorFormat.Norm8x4, F.ColorFormat.BC7):
-        colrgba = _dec_bitfields_j(
+        col_cols = _cols_bitfields_j(
             da.color_q, (0, 8, 16, 24), (0xFF, 0xFF, 0xFF, 0xFF)
         )
     elif cf == F.ColorFormat.Float16x4:
         r, g = _f16_pair_split_j(da.color_q[:, 0])
         b, a = _f16_pair_split_j(da.color_q[:, 1])
-        colrgba = jnp.stack([r, g, b, a], axis=-1)
+        col_cols = [r, g, b, a]
     elif cf == F.ColorFormat.Float32x4:
-        colrgba = da.color_q
+        col_cols = [da.color_q[:, j] for j in range(4)]
     else:
         raise NotImplementedError(cf)
-    color = colrgba[:, :3]
-    opacity = colrgba[:, 3]
+    opacity = col_cols[3]
 
     fmt = da.sh_format
     if F.is_cluster_format(fmt) or fmt == F.SHFormat.Float16:
@@ -286,59 +318,61 @@ def decode_device(da: DeviceAsset) -> Gaussians:
 
     if da.chunk_info is not None:
         info = da.chunk_info  # (C, 16) u32
-        cmin_c, cmax_c = [], []
-        for i in range(4):
-            lo, hi = _f16_pair_split_j(info[:, i])
-            cmin_c.append(lo)
-            cmax_c.append(hi)
-        cmin = jnp.stack(cmin_c, axis=-1)  # (C, 4) color+op mins
-        cmax = jnp.stack(cmax_c, axis=-1)
-        pos_pairs = jax.lax.bitcast_convert_type(info[:, 4:10], jnp.float32)
-        pmin, pmax = pos_pairs[:, 0::2], pos_pairs[:, 1::2]
-        smin_c, smax_c, shmin_c, shmax_c = [], [], [], []
-        for i in range(3):
-            lo, hi = _f16_pair_split_j(info[:, 10 + i])
-            smin_c.append(lo)
-            smax_c.append(hi)
-            lo, hi = _f16_pair_split_j(info[:, 13 + i])
-            shmin_c.append(lo)
-            shmax_c.append(hi)
-        smin = jnp.stack(smin_c, axis=-1)
-        smax = jnp.stack(smax_c, axis=-1)
-        shmin = jnp.stack(shmin_c, axis=-1)
-        shmax = jnp.stack(shmax_c, axis=-1)
-
-        # Chunk-constant broadcast: NOT a gather (XLA gathers cost ~8 ns
-        # per index — ~10 of them at 6.1M indices were ~300 ms of the
-        # compressed-render frame); jnp.repeat with a static count lowers
-        # to broadcast+reshape, which is bandwidth-free here.
         nchunks = info.shape[0]
 
-        def rep(a):
+        def rep1(col):  # (C,) -> (n,) chunk-constant broadcast, planar
             r = jnp.repeat(
-                a, F.CHUNK_SIZE, axis=0, total_repeat_length=nchunks * F.CHUNK_SIZE
+                col, F.CHUNK_SIZE, total_repeat_length=nchunks * F.CHUNK_SIZE
             )
             return r[:n]
-        pos = rep(pmin) + pos * (rep(pmax) - rep(pmin))
-        scale = rep(smin) + scale * (rep(smax) - rep(smin))
-        s2 = scale * scale
-        s4 = s2 * s2
-        scale = s4 * s4  # scale^8: hlsl:578-581 (s *= s three times)
-        color = rep(cmin[:, :3]) + color * (rep(cmax[:, :3]) - rep(cmin[:, :3]))
-        opacity = rep(cmin[:, 3]) + opacity * (rep(cmax[:, 3]) - rep(cmin[:, 3]))
+
+        def lerp1(x, lo_col, hi_col):
+            lo_r = rep1(lo_col)
+            return lo_r + x * (rep1(hi_col) - lo_r)
+
+        pos_pairs = jax.lax.bitcast_convert_type(info[:, 4:10], jnp.float32)
+        pos_cols = [
+            lerp1(pos_cols[j], pos_pairs[:, 2 * j], pos_pairs[:, 2 * j + 1])
+            for j in range(3)
+        ]
+        scale_cols = [
+            lerp1(scale_cols[j], *_f16_pair_split_j(info[:, 10 + j]))
+            for j in range(3)
+        ]
+        # scale^8: hlsl:578-581 (s *= s three times).
+        scale_cols = [((s * s) ** 2) ** 2 for s in scale_cols]
+        col_cols = [
+            lerp1(col_cols[j], *_f16_pair_split_j(info[:, j])) for j in range(4)
+        ]
+        opacity = col_cols[3]
         # InvSquareCentered01 (GaussianUtils.cs:25-38 / hlsl:583).
         t = opacity * 2.0 - 1.0
         opacity = jnp.sign(t) * jnp.sqrt(jnp.abs(t)) * 0.5 + 0.5
         if fmt in (F.SHFormat.Norm11, F.SHFormat.Norm6):
-            sh = rep(shmin)[:, None, :] + sh * (
-                rep(shmax)[:, None, :] - rep(shmin)[:, None, :]
+            shmin_c, shmax_c = [], []
+            for i in range(3):
+                lo, hi = _f16_pair_split_j(info[:, 13 + i])
+                shmin_c.append(lo)
+                shmax_c.append(hi)
+            shmin = jnp.stack(shmin_c, axis=-1)
+            shmax = jnp.stack(shmax_c, axis=-1)
+
+            def rep3(a):  # (C, 3) -> (n, 3)
+                r = jnp.repeat(
+                    a, F.CHUNK_SIZE, axis=0,
+                    total_repeat_length=nchunks * F.CHUNK_SIZE,
+                )
+                return r[:n]
+
+            sh = rep3(shmin)[:, None, :] + sh * (
+                rep3(shmax)[:, None, :] - rep3(shmin)[:, None, :]
             )
 
     return Gaussians(
-        means=pos,
+        means=jnp.stack(pos_cols, axis=-1),
         rotations=rot,
-        scales=scale,
+        scales=jnp.stack(scale_cols, axis=-1),
         opacities=opacity,
-        base_color=color,
+        base_color=jnp.stack(col_cols[:3], axis=-1),
         sh=sh,
     )

@@ -122,10 +122,13 @@ def unpack_smallest3(pq: jnp.ndarray) -> jnp.ndarray:
     largest = jnp.sqrt(jnp.maximum(1e-24, 1.0 - jnp.sum(three * three, axis=-1)))
 
     a, b, c = three[..., 0], three[..., 1], three[..., 2]
-    # Inverse of the pack swizzle: place `largest` at position idx.
-    cand0 = jnp.stack([largest, a, b, c], axis=-1)  # idx==0 -> q.wxyz pattern
-    cand1 = jnp.stack([a, largest, b, c], axis=-1)
-    cand2 = jnp.stack([a, b, largest, c], axis=-1)
-    cand3 = jnp.stack([a, b, c, largest], axis=-1)
-    cands = jnp.stack([cand0, cand1, cand2, cand3], axis=-2)  # (..., 4, 4)
-    return jnp.take_along_axis(cands, idx[..., None, None], axis=-2).squeeze(-2)
+    # Inverse of the pack swizzle: place `largest` at position idx and keep
+    # (a, b, c) in order in the remaining slots.  Per-component selects
+    # instead of a stacked candidate table + take_along_axis: the 4x4
+    # candidate stack lowered to cross-lane interleaves on TPU (~79 ms at
+    # 6.1M splats in the device-asset decode; the selects are ~free).
+    x = jnp.where(idx == 0, largest, a)
+    y = jnp.where(idx == 1, largest, jnp.where(idx == 0, a, b))
+    z = jnp.where(idx == 2, largest, jnp.where(idx <= 1, b, c))
+    w = jnp.where(idx == 3, largest, c)
+    return jnp.stack([x, y, z, w], axis=-1)
