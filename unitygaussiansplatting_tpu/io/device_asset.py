@@ -300,6 +300,7 @@ def decode_device(da: DeviceAsset) -> Gaussians:
     opacity = col_cols[3]
 
     fmt = da.sh_format
+    sh_cols = None  # planar (n*15,) channel columns for the normed formats
     if F.is_cluster_format(fmt) or fmt == F.SHFormat.Float16:
         words = da.sh_q  # (rows, 24) u32 of f16 pairs (48 halves, 45 used)
         if F.is_cluster_format(fmt):
@@ -310,9 +311,15 @@ def decode_device(da: DeviceAsset) -> Gaussians:
     elif fmt == F.SHFormat.Float32:
         sh = da.sh_q.reshape(n, 15, 3)
     elif fmt == F.SHFormat.Norm11:
-        sh = _dec_norm11_j(da.sh_q.reshape(-1)).reshape(n, 15, 3)
+        sh_cols = _cols_bitfields_j(
+            da.sh_q.reshape(-1), (0, 11, 21), (2047, 1023, 2047)
+        )
+        sh = None
     elif fmt == F.SHFormat.Norm6:
-        sh = _dec_norm565_j(da.sh_q.reshape(-1)).reshape(n, 15, 3)
+        sh_cols = _cols_bitfields_j(
+            da.sh_q.reshape(-1), (0, 5, 11), (31, 63, 31)
+        )
+        sh = None
     else:
         raise ValueError(fmt)
 
@@ -320,15 +327,16 @@ def decode_device(da: DeviceAsset) -> Gaussians:
         info = da.chunk_info  # (C, 16) u32
         nchunks = info.shape[0]
 
-        def rep1(col):  # (C,) -> (n,) chunk-constant broadcast, planar
-            r = jnp.repeat(
-                col, F.CHUNK_SIZE, total_repeat_length=nchunks * F.CHUNK_SIZE
-            )
-            return r[:n]
+        pad = nchunks * F.CHUNK_SIZE - n
 
         def lerp1(x, lo_col, hi_col):
-            lo_r = rep1(lo_col)
-            return lo_r + x * (rep1(hi_col) - lo_r)
+            # Chunk-constant lerp at (C, 256) shape: 256 is lane-aligned so
+            # the 2-D view tiles perfectly and the coefficients broadcast
+            # along lanes — no repeat, no rank-3 padding (a 1-D repeat of
+            # the coefficients measured ~250 ms for one field at 6.1M).
+            x2 = jnp.pad(x, (0, pad)).reshape(nchunks, F.CHUNK_SIZE)
+            out = lo_col[:, None] + x2 * (hi_col - lo_col)[:, None]
+            return out.reshape(-1)[:n]
 
         pos_pairs = jax.lax.bitcast_convert_type(info[:, 4:10], jnp.float32)
         pos_cols = [
@@ -348,25 +356,24 @@ def decode_device(da: DeviceAsset) -> Gaussians:
         # InvSquareCentered01 (GaussianUtils.cs:25-38 / hlsl:583).
         t = opacity * 2.0 - 1.0
         opacity = jnp.sign(t) * jnp.sqrt(jnp.abs(t)) * 0.5 + 0.5
-        if fmt in (F.SHFormat.Norm11, F.SHFormat.Norm6):
-            shmin_c, shmax_c = [], []
-            for i in range(3):
-                lo, hi = _f16_pair_split_j(info[:, 13 + i])
-                shmin_c.append(lo)
-                shmax_c.append(hi)
-            shmin = jnp.stack(shmin_c, axis=-1)
-            shmax = jnp.stack(shmax_c, axis=-1)
-
-            def rep3(a):  # (C, 3) -> (n, 3)
-                r = jnp.repeat(
-                    a, F.CHUNK_SIZE, axis=0,
-                    total_repeat_length=nchunks * F.CHUNK_SIZE,
+        if sh_cols is not None:
+            # Per-channel planar lerp at (C, 256*15) lane-aligned shape
+            # (the 15 coefficients of a splat are contiguous in the
+            # flattened column, so chunk rows stay aligned).
+            def lerp_sh(x, lo_col, hi_col):
+                x2 = jnp.pad(x, (0, pad * 15)).reshape(
+                    nchunks, F.CHUNK_SIZE * 15
                 )
-                return r[:n]
+                out = lo_col[:, None] + x2 * (hi_col - lo_col)[:, None]
+                return out.reshape(-1)[: n * 15]
 
-            sh = rep3(shmin)[:, None, :] + sh * (
-                rep3(shmax)[:, None, :] - rep3(shmin)[:, None, :]
-            )
+            sh_cols = [
+                lerp_sh(sh_cols[i], *_f16_pair_split_j(info[:, 13 + i]))
+                for i in range(3)
+            ]
+
+    if sh_cols is not None:
+        sh = jnp.stack(sh_cols, axis=-1).reshape(n, 15, 3)
 
     return Gaussians(
         means=jnp.stack(pos_cols, axis=-1),
