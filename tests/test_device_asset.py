@@ -85,3 +85,27 @@ def test_render_from_device_asset_matches_host_decode():
     bad = np.abs(img_dev - img_host) > 2e-5
     assert bad.mean() < 1e-4, f"{bad.sum()} mismatched values"
     assert float(img_dev[..., 3].max()) > 0.05  # drew something
+
+
+def test_shade_sh_planar_matches_array():
+    # The planar (tuple-of-channels) shade_sh fast path must equal the
+    # array path BIT-FOR-BIT (same formulas, same term order).
+    import jax.numpy as jnp
+
+    from unitygaussiansplatting_tpu.ops.sh import shade_sh
+
+    rng = np.random.default_rng(3)
+    n = 2048
+    base = jnp.asarray(rng.normal(0.5, 0.3, size=(n, 3)).astype(np.float32))
+    sh = jnp.asarray(rng.normal(0, 0.2, size=(n, 15, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    sh_cols = tuple(sh[:, :, c] for c in range(3))
+    for order in (1, 2, 3):
+        a = np.asarray(shade_sh(base, sh, d, order))
+        p = np.asarray(shade_sh(base, sh_cols, d, order))
+        np.testing.assert_array_equal(a, p, err_msg=f"order {order}")
+    a = np.asarray(shade_sh(base, sh, d, 3, only_sh=True))
+    p = np.asarray(shade_sh(base, sh_cols, d, 3, only_sh=True))
+    np.testing.assert_array_equal(a, p)

@@ -265,7 +265,7 @@ def _f16_pair_split_j(u32):
     return _f16_bits_to_f32(u32 & 0xFFFF), _f16_bits_to_f32(u32 >> 16)
 
 
-def decode_device(da: DeviceAsset) -> Gaussians:
+def decode_device(da: DeviceAsset, planar_sh: bool = False) -> Gaussians:
     """Jittable per-frame decode: DeviceAsset -> activated Gaussians.
 
     The jnp mirror of ``LoadSplatData`` (GaussianSplatting.hlsl:428-608);
@@ -276,6 +276,12 @@ def decode_device(da: DeviceAsset) -> Gaussians:
     stacked exactly once at the end: rank-3 repeat intermediates and
     per-column interleaves at (N, 3) shapes cost ~50 ms per field at 6.1M
     splats on TPU (measured, tools/tpu_jobs/467-468), the planar form ~1 ms.
+
+    ``planar_sh=True`` (the render path) keeps SH as a tuple of 3 planar
+    (N, 15) channel arrays when the format decodes planar (Norm11/Norm6) —
+    ops.sh.shade_sh consumes either form; skipping the (N, 15, 3)
+    interleave is another ~85 ms at 6.1M splats.  Leave False for
+    consumers that need the array form (export/editing round trips).
     """
     n = da.splat_count
     pos_cols = _cols_vector_j(da.pos_q, da.pos_format)
@@ -373,7 +379,10 @@ def decode_device(da: DeviceAsset) -> Gaussians:
             ]
 
     if sh_cols is not None:
-        sh = jnp.stack(sh_cols, axis=-1).reshape(n, 15, 3)
+        if planar_sh:
+            sh = tuple(col.reshape(n, 15) for col in sh_cols)
+        else:
+            sh = jnp.stack(sh_cols, axis=-1).reshape(n, 15, 3)
 
     return Gaussians(
         means=jnp.stack(pos_cols, axis=-1),

@@ -50,6 +50,14 @@ def shade_sh(
     if not 0 <= sh_order <= 3:
         raise ValueError(f"sh_order must be in [0, 3], got {sh_order}")
 
+    if isinstance(sh, tuple):
+        # Planar fast path: sh as 3 channel columns of (..., 15) — the
+        # device-asset decode keeps SH planar because assembling the
+        # (N, 15, 3) interleave costs ~85 ms at 6.1M splats on TPU
+        # (CLAUDE.md layout rules); same formulas, same term order, one
+        # stack at the end.
+        return _shade_sh_planar(base_color, sh, view_dir, sh_order, only_sh)
+
     res = jnp.where(only_sh, 0.5, base_color) if only_sh else base_color
     if sh_order >= 1:
         assert sh is not None
@@ -78,6 +86,47 @@ def shade_sh(
                     + (SH_C3[6] * x * (xx - 3 * yy)) * sh[..., 14, :]
                 )
     return jnp.maximum(res, 0.0)
+
+
+def _shade_sh_planar(base_color, sh_cols, view_dir, sh_order: int, only_sh: bool):
+    """shade_sh on planar SH channels: sh_cols = 3 x (..., 15) arrays.
+
+    Term order matches the array path exactly (same fp rounding per
+    element); the only stack is the final (..., 3) color.
+    """
+    x = view_dir[..., 0]
+    y = view_dir[..., 1]
+    z = view_dir[..., 2]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    out = []
+    for ch in range(3):
+        s = sh_cols[ch]
+        res = (
+            jnp.full_like(x, 0.5) if only_sh else base_color[..., ch]
+        )
+        if sh_order >= 1:
+            res = res + SH_C1 * (-s[..., 0] * y + s[..., 1] * z - s[..., 2] * x)
+            if sh_order >= 2:
+                res = res + (
+                    (SH_C2[0] * xy) * s[..., 3]
+                    + (SH_C2[1] * yz) * s[..., 4]
+                    + (SH_C2[2] * (2 * zz - xx - yy)) * s[..., 5]
+                    + (SH_C2[3] * xz) * s[..., 6]
+                    + (SH_C2[4] * (xx - yy)) * s[..., 7]
+                )
+                if sh_order >= 3:
+                    res = res + (
+                        (SH_C3[0] * y * (3 * xx - yy)) * s[..., 8]
+                        + (SH_C3[1] * xy * z) * s[..., 9]
+                        + (SH_C3[2] * y * (4 * zz - xx - yy)) * s[..., 10]
+                        + (SH_C3[3] * z * (2 * zz - 3 * xx - 3 * yy)) * s[..., 11]
+                        + (SH_C3[4] * x * (4 * zz - xx - yy)) * s[..., 12]
+                        + (SH_C3[5] * z * (xx - yy)) * s[..., 13]
+                        + (SH_C3[6] * x * (xx - 3 * yy)) * s[..., 14]
+                    )
+        out.append(res)
+    return jnp.maximum(jnp.stack(out, axis=-1), 0.0)
 
 
 def sh_basis(d: jnp.ndarray) -> jnp.ndarray:
