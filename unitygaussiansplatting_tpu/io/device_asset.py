@@ -277,11 +277,13 @@ def decode_device(da: DeviceAsset, planar_sh: bool = False) -> Gaussians:
     per-column interleaves at (N, 3) shapes cost ~50 ms per field at 6.1M
     splats on TPU (measured, tools/tpu_jobs/467-468), the planar form ~1 ms.
 
-    ``planar_sh=True`` (the render path) keeps SH as a tuple of 3 planar
-    (N, 15) channel arrays when the format decodes planar (Norm11/Norm6) —
-    ops.sh.shade_sh consumes either form; skipping the (N, 15, 3)
-    interleave is another ~85 ms at 6.1M splats.  Leave False for
-    consumers that need the array form (export/editing round trips).
+    ``planar_sh=True`` keeps SH as a tuple of 3 planar (N, 15) channel
+    arrays when the format decodes planar (Norm11/Norm6); ops.sh.shade_sh
+    consumes either form bit-identically.  MEASURED NET LOSS on the render
+    path (DA fwd 509 -> 676 ms at 6.1M: shade_sh's 45 strided column
+    reads of (N, 15) cost more than the one (N, 15, 3) interleave write
+    they avoid) — kept for consumers that want channel columns, default
+    off everywhere.
     """
     n = da.splat_count
     pos_cols = _cols_vector_j(da.pos_q, da.pos_format)

@@ -106,7 +106,7 @@ def suggest_pair_multiplier(
         if hasattr(g, "pos_q"):  # DeviceAsset: decode inside jit like the
             from ..io.device_asset import decode_device
 
-            g = decode_device(g, planar_sh=True)  # render path — no persistent f32 copy
+            g = decode_device(g)  # render path — no persistent f32 copy
         proj = quantize_view_fp16(
             project_splats(g, camera, settings, model=model), config
         )
@@ -173,7 +173,7 @@ def render_with_stats(
         from ..io.device_asset import decode_device
 
         with jax.named_scope("splat_decode"):
-            gaussians = decode_device(gaussians, planar_sh=True)
+            gaussians = decode_device(gaussians)
     with jax.named_scope("splat_project"):
         proj = project_splats(
             gaussians, camera, settings, model=model, kill_mask=kill_mask

@@ -74,9 +74,7 @@ def render_phases(
     if hasattr(gaussians, "pos_q"):  # DeviceAsset: time the on-device decode
         from ..io.device_asset import decode_device
 
-        ms, gaussians = _time_call(
-            jax.jit(lambda d: decode_device(d, planar_sh=True)), gaussians, reps=reps
-        )
+        ms, gaussians = _time_call(jax.jit(decode_device), gaussians, reps=reps)
         phases["decode"] = round(ms, 2)
     ms, proj = _time_call(
         jax.jit(lambda g: project_splats(g, camera, settings)), gaussians, reps=reps
