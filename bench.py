@@ -7,35 +7,145 @@ bench renders a synthetic scene with the same splat count, resolution and SH
 order.  ``vs_baseline`` is reference_ms / our_ms (>1 means faster than the
 reference GPU).
 
-The single JSON line also carries:
-- ``phases``: per-stage forward breakdown (project / bin_prepare /
-  schedule / kernel) — the analog of the reference's ProfilerMarker phase
-  numbers (readme.md:84), via utils/profiling.render_phases;
-- ``pairs``: true (splat, tile) pair demand vs static budget + overflow flag
-  (the frame-truncation failure signal);
-- ``extra_metrics``: companion measurements — forward-only ms on the headline
-  scene and fwd+bwd on a realistic-capture-statistics scene
-  (utils/synthetic.outdoor_scene), whose tile-overlap/depth-complexity
-  distributions differ strongly from the sphere shell.
+Termination contract (the driver runs this under a finite ``timeout`` and
+parses a JSON line from the output tail — rounds 2 and 3 lost their perf
+credit to rc!=0 with nothing parseable, BENCH_r02/r03.json):
+
+- The HEADLINE is measured first and its complete JSON line printed the
+  moment it exists; every later extra re-prints the (grown) result line, so
+  the last parseable line in the tail is always the most complete result.
+- A global watchdog armed BEFORE backend init (BENCH_WATCHDOG_S, default
+  1080 s from original process start, surviving re-execs via _BENCH_T0)
+  prints the partial result and exits rather than letting the driver's
+  timeout kill an unflushed process.
+- SIGTERM/SIGINT (what ``timeout`` sends first) dump the partial result too.
+- Extras are individually gated on the remaining budget
+  (BENCH_DEADLINE_S, default 900 s) with per-extra cost estimates; skipped
+  extras are recorded in ``skipped`` instead of overrunning.
+
+The JSON also carries: ``phases`` (per-stage forward breakdown — the analog
+of the reference's ProfilerMarker numbers, readme.md:84), ``pairs`` (true
+(splat, tile) pair demand vs static budget + overflow flag), and
+``extra_metrics`` (fwd-only headline, realistic-capture-statistics scene,
+device-resident compressed rendering, full-import pipeline scene).
 
 Dispatch to the tunneled TPU costs ~30-200 ms per call; at current frame
 costs that is negligible, so frames are timed as repeated jit calls.
 
 Env knobs: BENCH_N (splats), BENCH_W/BENCH_H, BENCH_FRAMES, BENCH_BACKEND,
 BENCH_MODE (fwd|fwd_bwd), BENCH_SKIP_EXTRAS=1 for the quick headline only.
-Prints exactly one JSON line.
 """
 
+import copy
 import json
 import os
 import signal
 import socket
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_MS = 6.8  # readme.md:84, RTX 3080 Ti
+
+# Absolute start time, surviving the re-exec in _acquire_backend so the
+# watchdog/deadline measure the window the DRIVER sees, not per-exec time.
+_T0 = float(os.environ.get("_BENCH_T0") or time.time())
+os.environ["_BENCH_T0"] = repr(_T0)
+WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", 1080))
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 900))
+
+
+def _elapsed() -> float:
+    return time.time() - _T0
+
+
+def _remaining() -> float:
+    return DEADLINE_S - _elapsed()
+
+
+# Progressively-filled result: printed whenever it grows, and emitted as-is
+# by the watchdog / signal handlers so a healthy headline is never discarded
+# because a later extra (or its compile) overran the window.
+_RESULT: dict = {}
+_RESULT_LOCK = threading.Lock()
+
+
+def _print_result(note: str | None = None) -> None:
+    """Print the current result as ONE atomic JSON line (last line wins)."""
+    try:
+        with _RESULT_LOCK:
+            snap = copy.deepcopy(_RESULT)
+        if note:
+            snap["truncated"] = note
+        line = json.dumps(snap)
+    except Exception as e:  # never die while trying to report
+        line = json.dumps(
+            {
+                "metric": "fwd+bwd ms/frame (result serialization failed)",
+                "value": None,
+                "unit": "ms",
+                "vs_baseline": 0.0,
+                "error": repr(e),
+            }
+        )
+    print(line, flush=True)
+
+
+def _die_with_partial(reason: str, code: int) -> None:
+    with _RESULT_LOCK:
+        have_value = _RESULT.get("value") is not None
+    if have_value:
+        _print_result(note=reason + "; headline metric is complete")
+        os._exit(0)
+    print(
+        json.dumps(
+            {
+                "metric": "fwd+bwd ms/frame (bench aborted)",
+                "value": None,
+                "unit": "ms",
+                "vs_baseline": 0.0,
+                "error": reason,
+            }
+        ),
+        flush=True,
+    )
+    os._exit(code)
+
+
+def _arm_watchdog() -> None:
+    """Hard upper bound on bench lifetime, armed BEFORE backend init: a
+    wedged transport (device init or a dispatch hanging forever) still ends
+    in one parseable JSON line instead of the driver's silent rc=124."""
+    delay = max(WATCHDOG_S - _elapsed(), 5.0)
+
+    def fire():
+        _die_with_partial(
+            f"bench watchdog fired at {WATCHDOG_S:.0f}s "
+            "(TPU transport wedged or budget misjudged)",
+            3,
+        )
+
+    t = threading.Timer(delay, fire)
+    t.daemon = True
+    t.start()
+
+
+def _install_signal_handlers() -> None:
+    """``timeout`` sends SIGTERM before SIGKILL: dump the partial result.
+    Best-effort (the main thread may be blocked inside a dispatch); the
+    watchdog thread is the reliable path."""
+
+    def handler(signum, frame):
+        _die_with_partial(f"terminated by signal {signum}", 3)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, handler)
+        except (ValueError, OSError):
+            pass
+
 
 # Relay ports the tunneled-TPU plugin dials (see /root/.tpu_init.py PORTS);
 # probing with a bare TCP connect does NOT create a PJRT client/chip claim.
@@ -89,6 +199,7 @@ def _emit_error_line(msg: str) -> None:
     number so 'code works, transport down' is distinguishable from 'code
     broken' in the recorded artifact."""
     smoke_ms = None
+    smoke_budget = min(max(_remaining(), 30.0), 240.0)
     try:
         import subprocess
 
@@ -107,7 +218,7 @@ def _emit_error_line(msg: str) -> None:
              "img = render(g, cam, RenderSettings(sh_order=1));"
              "print('smoke ok', float(img.mean()))"
              % os.path.dirname(os.path.abspath(__file__))],
-            capture_output=True, timeout=600, text=True,
+            capture_output=True, timeout=smoke_budget, text=True,
         )
         if r.returncode == 0 and "smoke ok" in r.stdout:
             smoke_ms = round((time.perf_counter() - t0) * 1000.0, 1)
@@ -142,13 +253,13 @@ def _acquire_backend():
     (2) Registration happens in sitecustomize at interpreter start, so a
     registration that already failed cannot be retried in-process: re-exec
     this script (fresh interpreter -> fresh registration), max 3 attempts.
-    (3) Arm a watchdog around the in-process init so a hang still ends in
-    one parseable JSON error line instead of a silent rc=124."""
+    (3) The global watchdog is already armed; an init-hang timer surfaces a
+    cleaner message well before it."""
     if os.environ.get("BENCH_ALLOW_CPU") == "1":
         return
 
     attempts = int(os.environ.get("_BENCH_REEXEC_N", "0"))
-    wait_s = float(os.environ.get("BENCH_INIT_WAIT_S", 1200))
+    wait_s = float(os.environ.get("BENCH_INIT_WAIT_S", 300))
     deadline = time.time() + wait_s
     while not _relay_up():
         if time.time() > deadline:
@@ -158,12 +269,10 @@ def _acquire_backend():
             )
         time.sleep(15)
 
-    import threading
-
     import jax
 
     init_watchdog = threading.Timer(
-        float(os.environ.get("BENCH_INIT_HANG_S", 600)),
+        float(os.environ.get("BENCH_INIT_HANG_S", 420)),
         lambda: (_emit_error_line("PJRT backend init hung (relay port open "
                                   "but device init never returned)")),
     )
@@ -193,6 +302,8 @@ def _acquire_backend():
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
+_arm_watchdog()
+_install_signal_handlers()
 if os.environ.get("BENCH_ALLOW_CPU") != "1":
     # Only when actually claiming the chip: a CPU-mode bench run must not
     # shoot down a live measurement worker.
@@ -214,52 +325,31 @@ def time_frames(fn, scene, frames):
     return (time.perf_counter() - t0) / frames * 1000.0
 
 
-# Progressively-filled result: the watchdog emits whatever has been
-# measured so far instead of discarding a healthy headline because a
-# later extra (or its compile) overran the deadline.
-_RESULT: dict = {}
-
-
-def _arm_watchdog():
-    """Guarantee bench terminates with one parseable JSON line even if the
-    TPU transport wedges (device init or a dispatch hanging forever).  The
-    deadline covers healthy cold-compile worst cases (~6 min contended)
-    with a wide margin; the daemon thread dies with a normal exit."""
-    import json
-    import threading
-
-    deadline = float(os.environ.get("BENCH_WATCHDOG_S", 3300))
-
-    def fire():
-        if _RESULT.get("value") is not None:
-            _RESULT["truncated"] = (
-                f"extras cut short at the {deadline:.0f}s watchdog; "
-                "headline metric is complete"
-            )
-            print(json.dumps(_RESULT), flush=True)
-            os._exit(0)
-        print(
-            json.dumps(
-                {
-                    "metric": "fwd+bwd ms/frame (bench watchdog)",
-                    "value": None,
-                    "unit": "ms",
-                    "vs_baseline": 0.0,
-                    "error": f"bench exceeded {deadline:.0f}s "
-                    "(TPU transport down or wedged)",
-                }
-            ),
-            flush=True,
-        )
-        os._exit(3)
-
-    t = threading.Timer(deadline, fire)
-    t.daemon = True
-    t.start()
+def _run_extra(name: str, est_s: float, fn) -> None:
+    """Run one best-effort extra: skipped when the remaining budget cannot
+    cover its cost estimate, and a failure never loses the headline."""
+    with _RESULT_LOCK:
+        skipped = _RESULT.setdefault("skipped", [])
+    rem = _remaining()
+    if rem < est_s:
+        print(f"bench: skipping extra '{name}' (needs ~{est_s:.0f}s, "
+              f"{rem:.0f}s left)", file=sys.stderr)
+        with _RESULT_LOCK:
+            skipped.append({"extra": name, "est_s": est_s,
+                            "remaining_s": round(rem, 1)})
+        return
+    print(f"bench: extra '{name}' (est {est_s:.0f}s, {rem:.0f}s left)",
+          file=sys.stderr)
+    try:
+        fn()
+    except Exception as e:
+        print(f"bench: extra '{name}' failed: {e!r}", file=sys.stderr)
+        with _RESULT_LOCK:
+            skipped.append({"extra": name, "error": repr(e)})
+    _print_result()  # re-print after each extra: last line = most complete
 
 
 def main():
-    _arm_watchdog()
     n = int(os.environ.get("BENCH_N", 6_100_000))
     width = int(os.environ.get("BENCH_W", 1200))
     height = int(os.environ.get("BENCH_H", 797))
@@ -323,69 +413,109 @@ def main():
 
     frame, frame_bwd = make_fns(camera, config)
     fn = frame_bwd if mode == "fwd_bwd" else frame
+    print(f"bench: headline measurement starting at t+{_elapsed():.0f}s",
+          file=sys.stderr)
     ms_per_frame = time_frames(fn, scene, frames)
 
-    result = _RESULT  # progressively filled: the watchdog emits it as-is
-    result.update(
-        {
-            "metric": (
-                f"{'fwd+bwd' if mode == 'fwd_bwd' else 'fwd'} ms/frame, synthetic "
-                f"bicycle-class {n} splats @{width}x{height} SH3 "
-                f"({backend} backend, v5e chip)"
-            ),
-            "value": round(ms_per_frame, 3),
-            "unit": "ms",
-            # vs the reference's published *forward-only* 6.8 ms (it has no
-            # backward at all, BASELINE.md).
-            "vs_baseline": round(REFERENCE_MS / ms_per_frame, 4),
-        }
-    )
+    with _RESULT_LOCK:
+        _RESULT.update(
+            {
+                "metric": (
+                    f"{'fwd+bwd' if mode == 'fwd_bwd' else 'fwd'} ms/frame, synthetic "
+                    f"bicycle-class {n} splats @{width}x{height} SH3 "
+                    f"({backend} backend, v5e chip)"
+                ),
+                "value": round(ms_per_frame, 3),
+                "unit": "ms",
+                # vs the reference's published *forward-only* 6.8 ms (it has
+                # no backward at all, BASELINE.md).
+                "vs_baseline": round(REFERENCE_MS / ms_per_frame, 4),
+                "headline_done_at_s": round(_elapsed(), 1),
+            }
+        )
+    # The headline is safe the moment it exists: print NOW, grow later.
+    _print_result()
 
-    if not skip_extras:
-        extras = result.setdefault("extra_metrics", [])
-        if mode == "fwd_bwd":
-            fwd_ms = time_frames(frame, scene, frames)
+    if skip_extras:
+        return
+
+    with _RESULT_LOCK:
+        extras = _RESULT.setdefault("extra_metrics", [])
+
+    def extra_fwd():
+        fwd_ms = time_frames(frame, scene, frames)
+        with _RESULT_LOCK:
             extras.append(
                 {
-                    "metric": f"fwd ms/frame, same headline scene",
+                    "metric": "fwd ms/frame, same headline scene",
                     "value": round(fwd_ms, 3),
                     "unit": "ms",
                     "vs_baseline": round(REFERENCE_MS / fwd_ms, 4),
                 }
             )
 
-        # Realistic-capture-statistics scene (VERDICT r1 item 7): same splat
-        # count and resolution, trained-outdoor-scene-like distributions.
+    if mode == "fwd_bwd":
+        _run_extra("fwd_headline", 90, extra_fwd)
+
+    def extra_phases():
+        # Per-phase forward breakdown + pair counters on the headline scene.
+        prof = render_phases(scene, camera, RenderSettings(sh_order=3), config)
+        with _RESULT_LOCK:
+            _RESULT["phases"] = prof["phases_ms"]
+            _RESULT["pairs"] = {
+                "num_pairs": prof["num_pairs"],
+                "budget": prof["pair_budget"],
+                "overflow": prof["overflow"],
+            }
+
+    _run_extra("phases_headline", 150, extra_phases)
+
+    # Realistic-capture-statistics scene (VERDICT r1 item 7): same splat
+    # count and resolution, trained-outdoor-scene-like distributions.
+    real_cam = Camera.look_at(
+        eye=[0.0, 0.4, -5.0],
+        target=[0.0, -0.2, 0.0],
+        up=[0.0, 1.0, 0.0],
+        fov_y_deg=47.0,
+        width=width,
+        height=height,
+    )
+    real_cfg = RasterizeConfig(
+        pair_multiplier=float(os.environ.get("BENCH_REAL_PAIR_MULT", 2.5)),
+        pack_axes_f16=True,
+        pack_grads_bf16=True,
+    )
+
+    def extra_outdoor():
         real = outdoor_scene(n=n, seed=1).activate()
         real = jax.device_put(real, jax.devices()[0])
         jax.block_until_ready(real)
-        real_cam = Camera.look_at(
-            eye=[0.0, 0.4, -5.0],
-            target=[0.0, -0.2, 0.0],
-            up=[0.0, 1.0, 0.0],
-            fov_y_deg=47.0,
-            width=width,
-            height=height,
-        )
-        real_cfg = RasterizeConfig(
-            pair_multiplier=float(os.environ.get("BENCH_REAL_PAIR_MULT", 2.5)),
-            pack_axes_f16=True,
-            pack_grads_bf16=True,
-        )
         rf, rfb = make_fns(real_cam, real_cfg)
         real_fn = rfb if mode == "fwd_bwd" else rf
         real_ms = time_frames(real_fn, real, max(2, frames // 2))
-        extras.append(
-            {
-                "metric": (
-                    f"{'fwd+bwd' if mode == 'fwd_bwd' else 'fwd'} ms/frame, "
-                    f"outdoor-statistics scene {n} splats @{width}x{height} SH3"
-                ),
-                "value": round(real_ms, 3),
-                "unit": "ms",
-                "vs_baseline": round(REFERENCE_MS / real_ms, 4),
+        rprof = render_phases(real, real_cam, RenderSettings(sh_order=3), real_cfg)
+        with _RESULT_LOCK:
+            extras.append(
+                {
+                    "metric": (
+                        f"{'fwd+bwd' if mode == 'fwd_bwd' else 'fwd'} ms/frame, "
+                        f"outdoor-statistics scene {n} splats @{width}x{height} SH3"
+                    ),
+                    "value": round(real_ms, 3),
+                    "unit": "ms",
+                    "vs_baseline": round(REFERENCE_MS / real_ms, 4),
+                }
+            )
+            _RESULT["phases_outdoor"] = rprof["phases_ms"]
+            _RESULT["pairs_outdoor"] = {
+                "num_pairs": rprof["num_pairs"],
+                "budget": rprof["pair_budget"],
+                "overflow": rprof["overflow"],
             }
-        )
+
+    _run_extra("outdoor_scene", 240, extra_outdoor)
+
+    def extra_device_asset():
         # Device-resident compressed rendering (the reference's 1.3 GB-VRAM
         # story, readme.md:83-84): render the headline scene straight from
         # Medium-preset quantized blobs and report the footprint ratio.
@@ -411,13 +541,17 @@ def main():
             for x in (scene.means, scene.rotations, scene.scales,
                       scene.opacities, scene.base_color, scene.sh)
         )
-        result["device_asset"] = {
-            "fwd_ms_from_compressed": round(da_ms, 3),
-            "device_bytes": da.device_bytes(),
-            "float_bytes": int(float_bytes),
-            "compression_on_device": round(float_bytes / da.device_bytes(), 2),
-        }
+        with _RESULT_LOCK:
+            _RESULT["device_asset"] = {
+                "fwd_ms_from_compressed": round(da_ms, 3),
+                "device_bytes": da.device_bytes(),
+                "float_bytes": int(float_bytes),
+                "compression_on_device": round(float_bytes / da.device_bytes(), 2),
+            }
 
+    _run_extra("device_asset", 240, extra_device_asset)
+
+    def extra_imported():
         # Imported-scene metric (VERDICT r2 #5): a procedurally-authored
         # capture-realistic scene through the FULL import pipeline — PLY
         # bytes on disk -> creator (Morton reorder, chunk stats, Medium
@@ -425,10 +559,9 @@ def main():
         # path the reference's headline scene takes (readme.md:79-81).
         import tempfile
 
+        from unitygaussiansplatting_tpu.io.bridge import gaussians_to_input_splats
         from unitygaussiansplatting_tpu.io.creator import create_asset
-        from unitygaussiansplatting_tpu.io.device_asset import (
-            device_asset_from_asset as _da_from_asset,
-        )
+        from unitygaussiansplatting_tpu.io.device_asset import device_asset_from_asset
         from unitygaussiansplatting_tpu.io.ply import write_ply
         from unitygaussiansplatting_tpu.utils.synthetic import captured_scene
 
@@ -438,7 +571,7 @@ def main():
             ply_path = os.path.join(td, "captured.ply")
             write_ply(ply_path, cap_splats)
             imp_asset = create_asset(ply_path, quality="medium", import_cameras=False)
-        imp_da = _da_from_asset(imp_asset)
+        imp_da = device_asset_from_asset(imp_asset)
         jax.block_until_ready(imp_da.pos_q)
         imp_cam = Camera.look_at(
             eye=[6.5, 2.2, -8.0],
@@ -464,39 +597,28 @@ def main():
             max(2, frames // 2),
         )
         iprof = render_phases(imp_da, imp_cam, RenderSettings(sh_order=3), imp_cfg)
-        result["imported_scene"] = {
-            "metric": (
-                f"fwd ms/frame, imported capture-like scene {n_imp} splats "
-                f"@{width}x{height} SH3, Medium asset via PLY->creator->DeviceAsset"
-            ),
-            "value": round(imp_ms, 3),
-            "unit": "ms",
-            "vs_baseline": round(REFERENCE_MS / imp_ms, 4),
-            "asset_bytes": imp_asset.total_bytes(),
-            "pairs": {
-                "num_pairs": iprof["num_pairs"],
-                "budget": iprof["pair_budget"],
-                "overflow": iprof["overflow"],
-            },
-        }
+        with _RESULT_LOCK:
+            _RESULT["imported_scene"] = {
+                "metric": (
+                    f"fwd ms/frame, imported capture-like scene {n_imp} splats "
+                    f"@{width}x{height} SH3, Medium asset via PLY->creator->DeviceAsset"
+                ),
+                "value": round(imp_ms, 3),
+                "unit": "ms",
+                "vs_baseline": round(REFERENCE_MS / imp_ms, 4),
+                "asset_bytes": imp_asset.total_bytes(),
+                "pairs": {
+                    "num_pairs": iprof["num_pairs"],
+                    "budget": iprof["pair_budget"],
+                    "overflow": iprof["overflow"],
+                },
+            }
 
-        # Per-phase forward breakdown + pair counters on the headline scene.
-        prof = render_phases(scene, camera, RenderSettings(sh_order=3), config)
-        result["phases"] = prof["phases_ms"]
-        result["pairs"] = {
-            "num_pairs": prof["num_pairs"],
-            "budget": prof["pair_budget"],
-            "overflow": prof["overflow"],
-        }
-        rprof = render_phases(real, real_cam, RenderSettings(sh_order=3), real_cfg)
-        result["phases_outdoor"] = rprof["phases_ms"]
-        result["pairs_outdoor"] = {
-            "num_pairs": rprof["num_pairs"],
-            "budget": rprof["pair_budget"],
-            "overflow": rprof["overflow"],
-        }
+    _run_extra("imported_scene", 300, extra_imported)
 
-    print(json.dumps(result))
+    with _RESULT_LOCK:
+        _RESULT["total_bench_s"] = round(_elapsed(), 1)
+    _print_result()
 
 
 if __name__ == "__main__":
