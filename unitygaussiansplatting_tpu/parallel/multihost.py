@@ -28,11 +28,40 @@ every helper here is testable on the 8-virtual-device CPU mesh.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh
 
 from .mesh import SPLAT_AXIS, splat_sharding
+
+
+def _cluster_env_detected() -> bool:
+    """Best-effort public sniff for 'this process is part of a >1-host job'.
+
+    Only consulted to pick between 'documented single-process no-op' and
+    'loud error' when :func:`initialize` is called after the backend came
+    up — on a healthy cluster run initialize() executes first and this is
+    never reached.  Checks the launcher env vars JAX's own cluster
+    auto-detect keys off, without importing private modules.
+    """
+    env = os.environ
+
+    def _num(name: str) -> int:
+        try:
+            return int(env.get(name, "") or 0)
+        except ValueError:
+            return 0
+
+    if _num("SLURM_NTASKS") > 1 or _num("OMPI_COMM_WORLD_SIZE") > 1:
+        return True
+    if _num("NPROC") > 1 and env.get("COORDINATOR_ADDRESS"):
+        return True
+    for var in ("JAX_COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS"):
+        if env.get(var):
+            return True
+    return False
 
 
 def initialize(
@@ -52,36 +81,19 @@ def initialize(
     - idempotent (a second call is a no-op);
     - a plain single-process run (no cluster env, no explicit args) is a
       documented no-op, even if jax was already touched;
-    - on a real cluster — explicit args given, or the pod environment
+    - on a real cluster — explicit args given, or the launcher environment
       detected — calling *after* the backend initialized raises instead of
       silently stranding every host in its own single-process world.
-    """
-    from jax._src import clusters as _clusters
-    from jax._src import distributed as _distributed
-    from jax._src import xla_bridge as _xla_bridge
 
-    if getattr(_distributed.global_state, "client", None) is not None:
-        return  # distributed system already initialized (idempotent call)
+    Uses only public JAX API (``jax.distributed.is_initialized`` /
+    ``initialize``): a late call is recognized by the RuntimeError
+    jax.distributed raises once the XLA backend exists, and classified via
+    :func:`_cluster_env_detected`.  Validated by the real 2-process CPU
+    integration test (tests/test_multiprocess.py).
+    """
+    if jax.distributed.is_initialized():
+        return  # idempotent call
     explicit = coordinator_address is not None or (num_processes or 0) > 1
-    if _xla_bridge.backends_are_initialized():
-        detected = False
-        if not explicit:
-            try:
-                addr, nproc, _, _ = (
-                    _clusters.ClusterEnv.auto_detect_unset_distributed_params(
-                        None, None, None, None, None, None
-                    )
-                )
-                detected = addr is not None and (nproc or 0) > 1
-            except Exception:
-                detected = False
-        if explicit or detected:
-            raise RuntimeError(
-                "multihost.initialize() on a cluster must run before any "
-                "JAX computation (including jax.devices()) — move it to "
-                "process start"
-            )
-        return  # single process, backend already up: nothing to do
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -93,6 +105,16 @@ def initialize(
         # was given: a plain single-process run.
         if explicit:
             raise
+    except RuntimeError as e:
+        # jax.distributed raises RuntimeError when the XLA backend already
+        # initialized (too late to go distributed).
+        if explicit or _cluster_env_detected():
+            raise RuntimeError(
+                "multihost.initialize() on a cluster must run before any "
+                "JAX computation (including jax.devices()) — move it to "
+                "process start"
+            ) from e
+        # Single process, backend already up: nothing to do.
 
 
 def make_pod_mesh(devices=None) -> Mesh:
