@@ -362,11 +362,21 @@ def main():
     from unitygaussiansplatting_tpu.models.renderer import render
     from unitygaussiansplatting_tpu.utils.config import RasterizeConfig, RenderSettings
     from unitygaussiansplatting_tpu.utils.profiling import render_phases
-    from unitygaussiansplatting_tpu.utils.synthetic import outdoor_scene, sphere_scene
+    from unitygaussiansplatting_tpu.utils.synthetic import (
+        outdoor_scene,
+        sphere_scene,
+        sphere_scene_device,
+    )
 
-    scene = sphere_scene(n=n, seed=0).activate()
-    scene = jax.device_put(scene, jax.devices()[0])
+    if os.environ.get("BENCH_HOST_SCENE") == "1":
+        # Bit-compatible with pre-r4 benches; ~260 s slower at 6.1M
+        # (host numpy gen + tunnel upload, measured tools/tpu_jobs/474).
+        scene = sphere_scene(n=n, seed=0).activate()
+        scene = jax.device_put(scene, jax.devices()[0])
+    else:
+        scene = sphere_scene_device(n=n, seed=0).activate()
     jax.block_until_ready(scene)
+    print(f"bench: scene ready at t+{_elapsed():.0f}s", file=sys.stderr)
     camera = Camera.look_at(
         eye=[0.0, 0.6, -3.0],
         target=[0.0, 0.0, 0.0],

@@ -127,3 +127,49 @@ def test_optimizer_state_survives_densify():
     )
     assert np.isfinite(hist["losses"]).all()
     assert any(e[1] == "densify+prune" for e in hist["events"])
+
+
+def test_overflow_recovery_grows_budget():
+    """VERDICT r3 item 5: an undersized pair budget is GROWN mid-training
+    (budget_grow event + re-jit) instead of silently truncating frames."""
+    import jax.numpy as jnp
+
+    from unitygaussiansplatting_tpu.models.renderer import render_with_stats
+    from unitygaussiansplatting_tpu.utils.config import RasterizeConfig
+
+    cams, targets = _cams_targets(k=2, w=128, h=96)
+    init = sphere_scene(n=1200, seed=9)
+    # Deliberately undersized: demand is ~2k pairs at this scale while the
+    # 0.4 multiplier yields pair_budget's 1024 floor, so the first budget
+    # check must fire and grow it.
+    config = RasterizeConfig(
+        tile_h=8, chunk_size=32, max_pairs_per_tile=1024, pair_multiplier=0.4
+    )
+    loop = TrainLoopConfig(
+        steps=40,
+        densify_every=15,
+        densify_from=5,
+        grad_threshold=5e-5,
+        capacity_step=256,
+        budget_check_every=8,
+        ssim_weight=0.0,
+    )
+    import optax
+
+    trained, hist = train(
+        init, cams, targets, loop, SETTINGS, config, optimizer=optax.adam(8e-3)
+    )
+    grows = [e for e in hist["events"] if e[1] == "budget_grow"]
+    assert grows, f"no budget_grow event: {hist['events']}"
+    new_mult = grows[-1][2]["new_multiplier"]
+    assert new_mult > config.pair_multiplier
+    # Rendering with the grown budget no longer truncates.
+    grown = RasterizeConfig(
+        tile_h=8, chunk_size=32, max_pairs_per_tile=1024,
+        pair_multiplier=new_mult,
+    )
+    _, stats = render_with_stats(trained.activate(), cams[0], SETTINGS, grown)
+    assert not bool(stats.overflowed)
+    # And training still converged despite the mid-run re-jit.
+    losses = hist["losses"]
+    assert np.mean(losses[-8:]) < np.mean(losses[:8])

@@ -275,12 +275,18 @@ def encode_asset(
     sh_indices: np.ndarray | None = None,
     sh_table: np.ndarray | None = None,
     cameras: list | None = None,
+    bc7_mode7: bool = True,
 ) -> GaussianSplatAssetData:
     """Quantize canonical splats into the chunked blob asset.
 
     ``sh_indices``/``sh_table`` must be provided for cluster SH formats (the
     output of kmeans.cluster_sh); the table is stored fp16
     (GaussianSplatAssetCreator.cs:1046-1051).
+
+    ``bc7_mode7`` controls the BC7 encoder's two-subset partition search
+    (only relevant for ColorFormat.BC7): it buys ~+0.7 dB but costs ~12x
+    encode time (~7-8 min for a 6M-splat import vs ~36 s without); pass
+    False for fast imports.
     """
     n = splats.count
     use_chunks = F.uses_chunks(pos_format, scale_format, color_format, sh_format)
@@ -392,7 +398,7 @@ def encode_asset(
         from .bc7 import encode_bc7
 
         enc = np.clip(_sat(tex) * 255.5, 0, 255).astype(np.uint8)
-        color_blob = encode_bc7(enc.reshape(height, width, 4))
+        color_blob = encode_bc7(enc.reshape(height, width, 4), mode7=bc7_mode7)
     else:
         raise ValueError(color_format)
 

@@ -100,6 +100,7 @@ def create_asset(
     import_cameras: bool = True,
     cluster_iters: int = 512,
     seed: int = 0,
+    bc7_mode7: bool = True,
 ) -> GaussianSplatAssetData:
     """Import a PLY/SPZ file into a quantized asset.
 
@@ -107,6 +108,8 @@ def create_asset(
     AssetCreator.cs:189-228); explicit format args override individual fields
     (the "Custom" mode).  When ``output_folder`` is given the blobs are saved
     there as ``{name}_{chk,pos,oth,col,shs}.bytes`` + a json sidecar.
+    ``bc7_mode7=False`` trades ~0.7 dB of BC7 color quality for ~12x faster
+    color encode on BC7 presets (very_low) — see io.asset.encode_asset.
     """
     preset = F.QUALITY_PRESETS[quality]
     pos_format = preset.pos if pos_format is None else pos_format
@@ -136,6 +139,7 @@ def create_asset(
         sh_indices=sh_indices,
         sh_table=sh_table,
         cameras=cameras,
+        bc7_mode7=bc7_mode7,
     )
 
     if output_folder is not None:
@@ -157,14 +161,21 @@ def main(argv=None):
         choices=sorted(F.QUALITY_PRESETS.keys()),
     )
     p.add_argument("--no-cameras", action="store_true")
+    p.add_argument(
+        "--fast-bc7",
+        action="store_true",
+        help="skip the BC7 mode-7 partition search (~12x faster color "
+        "encode on BC7 presets, ~-0.7 dB)",
+    )
     args = p.parse_args(argv)
     asset = create_asset(
         args.input,
         output_folder=args.output,
         quality=args.quality,
         import_cameras=not args.no_cameras,
+        bc7_mode7=not args.fast_bc7,
     )
-    ratio = (args and True) and (asset.splat_count * 248) / max(asset.total_bytes(), 1)
+    ratio = (asset.splat_count * 248) / max(asset.total_bytes(), 1)
     print(
         f"{asset.splat_count} splats -> {asset.total_bytes() / 1e6:.1f} MB "
         f"({ratio:.2f}x smaller than raw), hash {asset.data_hash[:16]}"

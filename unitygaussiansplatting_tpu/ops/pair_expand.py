@@ -78,13 +78,85 @@ def _f16_bits(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _expand_kernel(
-    r0_ref,  # (G,) int32 scalar-prefetch: first splat of each step's window
+    r0_ref,  # (G,) int32 scalar-prefetch: first splat of each window
     meta_ref,  # (1,) int32 scalar-prefetch: [num_pairs]
-    tbl_lo_ref,  # (16, C) f32: table columns [b*C, (b+1)*C)
-    tbl_hi_ref,  # (16, C) f32: next block
-    bnd_lo_ref,  # (C, 1) int32: boundaries[b*C : (b+1)*C]
-    bnd_hi_ref,  # (C, 1) int32
-    *refs,  # OUT (1, 1, C) each: key u32, splat i32, then field operands
+    *in_out_refs,  # W+1 table blocks (16, C), W+1 boundary blocks (C, 1),
+    #               then OUT (1, 1, W*C) each: key u32, splat i32, fields
+    num_splats: int,
+    tiles_x: int,
+    num_tiles: int,
+    tile_w: int,
+    tile_h: int,
+    db: int,
+    pack_axes: bool,
+    pack_color: bool,
+    quad_clip: bool,
+    pack_center: bool,
+    pack_rgba8: bool,
+    windows: int = 1,
+):
+    w = windows
+    tbl_refs = in_out_refs[: 2 * w]  # per-window (lo, hi) pairs
+    bnd_refs = in_out_refs[2 * w : 4 * w]
+    refs = in_out_refs[4 * w :]
+    key_ref, splat_ref = refs[0], refs[1]
+    c = key_ref.shape[2] // w
+    i = pl.program_id(0)
+    num_pairs = meta_ref[0]
+
+    # One step = W windows of C slots, each with its OWN (lo, hi) block pair
+    # fetched by the index maps — the per-window math (2C-span rotate,
+    # (C, C) compare/one-hot/MXU select) is exactly the W=1 kernel's, so
+    # per-slot compute is W-invariant, while the per-STEP machinery
+    # (measured ~62 ms of the W=1 kernel's 124 ms at bicycle scale,
+    # tools/tpu_jobs/475 no-op probe) is amortized over W windows.  A
+    # shared (W+1)-block concat was measured WORSE (tools/tpu_jobs/476:
+    # the rebase rotates grow O(W) per window).
+    for win in range(w):
+        r0j = r0_ref[w * i + win]
+        bnd_cat = jnp.concatenate(
+            [bnd_refs[2 * win][:, :], bnd_refs[2 * win + 1][:, :]], axis=0
+        )  # (2C, 1)
+        tbl_cat = jnp.concatenate(
+            [tbl_refs[2 * win][:, :], tbl_refs[2 * win + 1][:, :]], axis=1
+        )  # (16, 2C)
+        _expand_window(
+            r0j,
+            r0j // c * c,
+            bnd_cat,
+            tbl_cat,
+            2 * c,
+            (w * i + win) * c,
+            c,
+            win,
+            num_pairs,
+            refs,
+            num_splats=num_splats,
+            tiles_x=tiles_x,
+            num_tiles=num_tiles,
+            tile_w=tile_w,
+            tile_h=tile_h,
+            db=db,
+            pack_axes=pack_axes,
+            pack_color=pack_color,
+            quad_clip=quad_clip,
+            pack_center=pack_center,
+            pack_rgba8=pack_rgba8,
+        )
+
+
+def _expand_window(
+    r0,
+    lo_first,
+    bnd_cat,
+    tbl_cat,
+    span,
+    base,
+    c,
+    win,
+    num_pairs,
+    refs,
+    *,
     num_splats: int,
     tiles_x: int,
     num_tiles: int,
@@ -97,23 +169,11 @@ def _expand_kernel(
     pack_center: bool,
     pack_rgba8: bool,
 ):
+    """Expand the C slots [base, base + C) whose splats start at r0."""
     key_ref, splat_ref = refs[0], refs[1]
-    c = key_ref.shape[2]
-    i = pl.program_id(0)
-    r0 = r0_ref[i]
-    num_pairs = meta_ref[0]
-    base = i * c
-
-    # The C slots of this step reference splats [r0, r0 + C): rebase the two
-    # fetched blocks to that exact window with a dynamic rotate + static
-    # slice (Mosaic has no dynamic_slice on arrays), so the boundary compare,
-    # the one-hot selection and the MXU gather-matmul all run at (C, C)
-    # instead of (2C, C) — this kernel is compute-bound on exactly those ops.
-    win_first = (r0 // c) * c
-    d = r0 - win_first  # in [0, C)
-    bnd2 = jnp.concatenate([bnd_lo_ref[:, :], bnd_hi_ref[:, :]], axis=0)  # (2C, 1)
+    d = r0 - lo_first  # in [0, span - C)
     bnd = jax.lax.slice_in_dim(
-        pltpu.roll(bnd2, 2 * c - d, axis=0), 0, c, axis=0
+        pltpu.roll(bnd_cat, span - d, axis=0), 0, c, axis=0
     )  # (C, 1) = boundaries[r0 : r0 + C]
     slots = base + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)  # (1, C)
 
@@ -135,9 +195,8 @@ def _expand_kernel(
     j = (slots - base).astype(jnp.float32) - run_start  # within-run index
 
     # All 16 field rows for every slot in one MXU matmul.
-    tbl2 = jnp.concatenate([tbl_lo_ref[:, :], tbl_hi_ref[:, :]], axis=1)  # (16, 2C)
     tbl = jax.lax.slice_in_dim(
-        pltpu.roll(tbl2, 2 * c - d, axis=1), 0, c, axis=1
+        pltpu.roll(tbl_cat, span - d, axis=1), 0, c, axis=1
     )  # (16, C) = table[:, r0 : r0 + C]
     # precision=HIGHEST is load-bearing: Mosaic's default f32 dot runs a
     # single bf16 MXU pass (measured: selecting a 4M-valued f32 errs by up
@@ -209,9 +268,10 @@ def _expand_kernel(
         .astype(jnp.int32)
         .astype(jnp.uint32)
     )
-    key_ref[...] = ((tile_i.astype(jnp.uint32) << db) | dq_u)[None]
+    out_slice = slice(win * c, (win + 1) * c)  # static per unrolled window
+    key_ref[:, :, out_slice] = ((tile_i.astype(jnp.uint32) << db) | dq_u)[None]
     splat = r0 + count.astype(jnp.int32) - 1
-    splat_ref[...] = jnp.where(live, splat, num_splats)[None]
+    splat_ref[:, :, out_slice] = jnp.where(live, splat, num_splats)[None]
 
     # Field operands, emitted sort-ready (f16 pairs packed into u32 when
     # configured) so no K-sized field buffer or packing pass exists between
@@ -280,7 +340,7 @@ def _expand_kernel(
     else:
         out.extend([row(6), row(7), row(8), row(9)])
     for ref, val in zip(refs[2:], out):
-        ref[...] = val[None]
+        ref[:, :, out_slice] = val[None]
 
 
 def expand_operands(
@@ -300,6 +360,7 @@ def expand_operands(
     quad_clip: bool = True,
     pack_center: bool = False,
     pack_rgba8: bool = False,
+    windows: int = 1,
     interpret: bool = False,
 ):
     """Run the expansion kernel; returns the (K,)-shaped sort operand tuple
@@ -309,15 +370,19 @@ def expand_operands(
     four f32 arrays.
 
     ``NPAD`` is the splat-dim padding (multiple of C, > num_splats); both
-    inputs carry one extra C-block so the window's hi block always exists.
+    inputs carry one extra C-block so every window's hi block exists.
+    ``windows`` = slot windows of C pairs per grid step (each fetching its
+    own lo/hi block pair).
     """
     c = chunk
+    w = windows
     g = k // c
+    assert g % w == 0, (g, w)
     npad = table_t.shape[1] - c
-    assert boundaries.shape[0] == npad + c, (boundaries.shape, npad, c)
+    assert boundaries.shape[0] == npad + c, (boundaries.shape, npad, c, w)
 
-    # First splat of each step's window (XLA-side: G queries into the
-    # boundary table — the cheap searchsorted direction).
+    # First splat of each window (XLA-side: G queries into the boundary
+    # table — the cheap searchsorted direction).
     starts = jnp.arange(g, dtype=jnp.int32) * c
     r0 = (
         jnp.searchsorted(boundaries, starts, side="right").astype(jnp.int32) - 1
@@ -326,12 +391,6 @@ def expand_operands(
     meta = jnp.asarray(num_pairs, jnp.int32).reshape((1,))
 
     bnd2d = boundaries.reshape(-1, 1)
-
-    def lo_block(i, r0_ref, meta_ref):
-        return (r0_ref[i] // c, 0)
-
-    def hi_block(i, r0_ref, meta_ref):
-        return (r0_ref[i] // c + 1, 0)
 
     field_dtypes = (
         [jnp.uint32] if pack_center else [jnp.float32, jnp.float32]
@@ -344,17 +403,33 @@ def expand_operands(
     n_field_ops = len(field_dtypes)
     out_block = lambda i, r, m: (i, 0, 0)
 
+    # One step covers W windows of C slots, each with its own (lo, hi)
+    # block pair — fewer steps amortize the per-step grid/DMA machinery
+    # (measured ~62 ms of the W=1 kernel's 124 ms at bicycle scale,
+    # tools/tpu_jobs/475 no-op-kernel probe) at W-invariant per-slot
+    # compute.
+    tbl_specs = [
+        pl.BlockSpec(
+            (_ROWS, c),
+            lambda i, r, m, j=j, off=off: (0, r[w * i + j] // c + off),
+        )
+        for j in range(w)
+        for off in (0, 1)
+    ]
+    bnd_specs = [
+        pl.BlockSpec(
+            (c, 1),
+            lambda i, r, m, j=j, off=off: (r[w * i + j] // c + off, 0),
+        )
+        for j in range(w)
+        for off in (0, 1)
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec((_ROWS, c), lambda i, r, m: (0, lo_block(i, r, m)[0])),
-            pl.BlockSpec((_ROWS, c), lambda i, r, m: (0, hi_block(i, r, m)[0])),
-            pl.BlockSpec((c, 1), lo_block),
-            pl.BlockSpec((c, 1), hi_block),
-        ],
+        grid=(g // w,),
+        in_specs=tbl_specs + bnd_specs,
         out_specs=tuple(
-            pl.BlockSpec((1, 1, c), out_block) for _ in range(2 + n_field_ops)
+            pl.BlockSpec((1, 1, w * c), out_block) for _ in range(2 + n_field_ops)
         ),
     )
 
@@ -372,14 +447,15 @@ def expand_operands(
             quad_clip=quad_clip,
             pack_center=pack_center,
             pack_rgba8=pack_rgba8,
+            windows=w,
         ),
         grid_spec=grid_spec,
         out_shape=tuple(
-            jax.ShapeDtypeStruct((g, 1, c), dt)
+            jax.ShapeDtypeStruct((g // w, 1, w * c), dt)
             for dt in [jnp.uint32, jnp.int32] + field_dtypes
         ),
         interpret=interpret,
-    )(r0, meta, table_t, table_t, bnd2d, bnd2d)
+    )(r0, meta, *([table_t] * (2 * w)), *([bnd2d] * (2 * w)))
     return tuple(o.reshape(k) for o in outs)
 
 
@@ -447,6 +523,9 @@ def bin_and_prepare(
     )
     pack_rgba8 = bool(getattr(config, "pack_color_rgba8", False))
     c = config.expand_chunk
+    w = int(getattr(config, "expand_windows", 1))
+    if (k // c) % w:
+        w = 1  # budget not divisible into W-window steps: plain grid
     assert k % c == 0 and k % config.chunk_size == 0
     db = depth_key_bits(num_tiles)
 
@@ -533,6 +612,7 @@ def bin_and_prepare(
         quad_clip=config.quad_clip,
         pack_center=pack_center,
         pack_rgba8=pack_rgba8,
+        windows=w,
         interpret=interpret,
     )
 

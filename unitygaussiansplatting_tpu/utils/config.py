@@ -70,6 +70,16 @@ class RasterizeConfig:
     # count (512 measured 147 -> 113 ms over 256 at bicycle scale; 1024
     # exceeds VMEM for the (2C, C) window compare).
     expand_chunk: int = dataclasses.field(default=512, metadata={"static": True})
+    # Slot windows of expand_chunk pairs per expansion-kernel grid step.
+    # MEASURED A WASH on v5e at bicycle scale (tools/tpu_jobs/477: 291 /
+    # 283 / 285 / 286 ms at W=1/2/4/8): although a no-op kernel on the same
+    # grid costs 62 ms (tools/tpu_jobs/475), that per-step machinery fully
+    # overlaps the real kernel's VPU compute, so amortizing it buys
+    # nothing.  A shared (W+1)-block window was strictly worse (332 ms at
+    # W=4 — rebase rotates grow O(W)); raising expand_chunk instead also
+    # loses (C=1024: 146 ms vs 124 — (C, C) compute grows quadratically).
+    # Kept as a knob for future hardware; don't revisit on v5e.
+    expand_windows: int = dataclasses.field(default=1, metadata={"static": True})
     # Static per-tile work cap for the XLA rasterizer path (it needs a static
     # trip count; the Pallas kernel loops to the true per-tile count instead).
     max_pairs_per_tile: int = dataclasses.field(default=8192, metadata={"static": True})
@@ -131,6 +141,12 @@ class RasterizeConfig:
     # payload instead of two (saves another sort operand, ~27-31 ms at
     # bicycle scale).  Coarser than the asset's own Norm8 color only in the
     # SH-shaded view-dependent part; gradients pass straight-through.
+    # QUALITY CAVEAT: shaded rgb is HARD-SATURATED at 2.0 — the f16 path
+    # (and the reference's SplatViewData) preserves highlights above it.
+    # The clamp is scene-dependent and applied consistently across all
+    # backends (no divergence, but bright HDR-ish scenes lose specular
+    # peaks beyond the measured 63 dB); probe a scene's exposure with
+    # utils.quality.rgba8_clip_fraction before enabling.
     # Supersedes pack_color_f16's rounding when set.  Applied consistently
     # in all backends.  Off by default (the reference's SplatViewData is
     # f16, SplatUtilities.compute:247-248); the benchmark enables it if the
