@@ -25,7 +25,7 @@ for s in range(SLICES):
     raw = sphere_scene_device(n=SLICE, seed=100 + s)
     # More splats -> smaller splats (as a real capture at this density
     # would be): shift log-scales by log(0.4).
-    raw = dataclasses.replace(raw, log_scales=raw.log_scales + jnp.log(0.4))
+    raw = dataclasses.replace(raw, log_scales=raw.log_scales + jnp.log(0.28))
     g = raw.activate()
     del raw
     parts.append(encode_device(g))

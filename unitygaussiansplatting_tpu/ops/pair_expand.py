@@ -44,22 +44,32 @@ from ..utils.config import RasterizeConfig
 from .binning import cdiv
 
 # Table rows: cx, cy, a1x, a1y, a2x, a2y, r, g, b, opacity, x0, y0, nx,
-# depth_key, qcap, 0.  The first 10 match the composite kernels' field
-# order; the rest are binning metadata consumed here and by the key
-# builder.  qcap = rho^2 = log(opacity / alpha_discard): the kernel culls a
-# pair to the sentinel tile when NO pixel of the tile can pass the keep
-# test.  qx and qy are affine in pixel coords, so their ranges over the
-# tile rect come from interval arithmetic; if min|qx|^2 + min|qy|^2 >
-# qcap (alpha discard) or min|qx| > 2 / min|qy| > 2 (quad clip), every
-# pixel fails — an output-preserving, anisotropy-exact refinement of the
-# AABB binning (the old isotropic circle test kept far-off-minor-axis
-# tiles of thin splats that can never pass).
+# depth_key, bnd_hi, bnd_lo.  The first 10 match the composite kernels'
+# field order; the rest are binning metadata consumed here and by the key
+# builder.  The kernel culls a pair to the sentinel tile when NO pixel of
+# the tile can pass the keep test, using qcap = rho^2 =
+# log(opacity / alpha_discard) recomputed from the selected opacity row:
+# qx and qy are affine in pixel coords, so their ranges over the tile rect
+# come from interval arithmetic; if min|qx|^2 + min|qy|^2 > qcap (alpha
+# discard) or min|qx| > 2 / min|qy| > 2 (quad clip), every pixel fails —
+# an output-preserving, anisotropy-exact refinement of the AABB binning
+# (the old isotropic circle test kept far-off-minor-axis tiles of thin
+# splats that can never pass).
 _ROWS = 16
 ROW_X0 = 10
 ROW_Y0 = 11
 ROW_NX = 12
 ROW_DEPTH_KEY = 13
-ROW_QCAP = 14
+# Run-start boundaries ride IN the table as two f32-exact halves
+# (hi = bnd >> 12, lo = bnd & 4095; each <= 2^19 so exact in f32): a
+# separate (X, 1)-shaped boundary operand lane-pads 128x in HBM (14.9 GB
+# at 31.5M splats, tools/tpu_jobs/479), and Mosaic rejects (1, C) blocks.
+# The kernel reassembles them in int32 and transposes the row to the
+# (C, 1) column the window compare needs (Mosaic relayout, ~free —
+# probe tools/tpu_jobs/480).  qcap, which used to occupy row 14, is
+# recomputed in-kernel from the selected opacity (row 9) instead.
+ROW_BND_HI = 14
+ROW_BND_LO = 15
 
 
 def _f16_bits(x: jnp.ndarray) -> jnp.ndarray:
@@ -80,7 +90,7 @@ def _f16_bits(x: jnp.ndarray) -> jnp.ndarray:
 def _expand_kernel(
     r0_ref,  # (G,) int32 scalar-prefetch: first splat of each window
     meta_ref,  # (1,) int32 scalar-prefetch: [num_pairs]
-    *in_out_refs,  # W+1 table blocks (16, C), W+1 boundary blocks (C, 1),
+    *in_out_refs,  # 2W table blocks (16, C) (rows 14/15 = boundary halves),
     #               then OUT (1, 1, W*C) each: key u32, splat i32, fields
     num_splats: int,
     tiles_x: int,
@@ -88,6 +98,7 @@ def _expand_kernel(
     tile_w: int,
     tile_h: int,
     db: int,
+    alpha_discard: float,
     pack_axes: bool,
     pack_color: bool,
     quad_clip: bool,
@@ -97,8 +108,7 @@ def _expand_kernel(
 ):
     w = windows
     tbl_refs = in_out_refs[: 2 * w]  # per-window (lo, hi) pairs
-    bnd_refs = in_out_refs[2 * w : 4 * w]
-    refs = in_out_refs[4 * w :]
+    refs = in_out_refs[2 * w :]
     key_ref, splat_ref = refs[0], refs[1]
     c = key_ref.shape[2] // w
     i = pl.program_id(0)
@@ -114,16 +124,12 @@ def _expand_kernel(
     # the rebase rotates grow O(W) per window).
     for win in range(w):
         r0j = r0_ref[w * i + win]
-        bnd_cat = jnp.concatenate(
-            [bnd_refs[2 * win][:, :], bnd_refs[2 * win + 1][:, :]], axis=0
-        )  # (2C, 1)
         tbl_cat = jnp.concatenate(
             [tbl_refs[2 * win][:, :], tbl_refs[2 * win + 1][:, :]], axis=1
-        )  # (16, 2C)
+        )  # (16, 2C), rows 14/15 = boundary halves (see ROW_BND_HI)
         _expand_window(
             r0j,
             r0j // c * c,
-            bnd_cat,
             tbl_cat,
             2 * c,
             (w * i + win) * c,
@@ -137,6 +143,7 @@ def _expand_kernel(
             tile_w=tile_w,
             tile_h=tile_h,
             db=db,
+            alpha_discard=alpha_discard,
             pack_axes=pack_axes,
             pack_color=pack_color,
             quad_clip=quad_clip,
@@ -148,7 +155,6 @@ def _expand_kernel(
 def _expand_window(
     r0,
     lo_first,
-    bnd_cat,
     tbl_cat,
     span,
     base,
@@ -163,6 +169,7 @@ def _expand_window(
     tile_w: int,
     tile_h: int,
     db: int,
+    alpha_discard: float,
     pack_axes: bool,
     pack_color: bool,
     quad_clip: bool,
@@ -172,9 +179,18 @@ def _expand_window(
     """Expand the C slots [base, base + C) whose splats start at r0."""
     key_ref, splat_ref = refs[0], refs[1]
     d = r0 - lo_first  # in [0, span - C)
-    bnd = jax.lax.slice_in_dim(
-        pltpu.roll(bnd_cat, span - d, axis=0), 0, c, axis=0
-    )  # (C, 1) = boundaries[r0 : r0 + C]
+    # Rebase the fetched blocks to the exact window [r0, r0 + C) with a
+    # dynamic rotate + static slice (Mosaic has no dynamic_slice on arrays).
+    tbl = jax.lax.slice_in_dim(
+        pltpu.roll(tbl_cat, span - d, axis=1), 0, c, axis=1
+    )  # (16, C) = table[:, r0 : r0 + C]
+    # Boundaries ride as two f32-exact halves in rows 14/15 (see ROW_BND_HI
+    # note): reassemble in int32 and transpose the row into the (C, 1)
+    # column the window compare needs.
+    bnd_row = tbl[ROW_BND_HI : ROW_BND_HI + 1, :].astype(jnp.int32) * 4096 + tbl[
+        ROW_BND_LO : ROW_BND_LO + 1, :
+    ].astype(jnp.int32)  # (1, C)
+    bnd = jnp.transpose(bnd_row, (1, 0))  # (C, 1) = boundaries[r0 : r0 + C]
     slots = base + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)  # (1, C)
 
     # Each slot's splat = last window entry whose run starts at or before it:
@@ -195,9 +211,6 @@ def _expand_window(
     j = (slots - base).astype(jnp.float32) - run_start  # within-run index
 
     # All 16 field rows for every slot in one MXU matmul.
-    tbl = jax.lax.slice_in_dim(
-        pltpu.roll(tbl_cat, span - d, axis=1), 0, c, axis=1
-    )  # (16, C) = table[:, r0 : r0 + C]
     # precision=HIGHEST is load-bearing: Mosaic's default f32 dot runs a
     # single bf16 MXU pass (measured: selecting a 4M-valued f32 errs by up
     # to 8191), which corrupts the integer-valued depth-key/rect rows and
@@ -233,7 +246,17 @@ def _expand_window(
     a1y = fields[3, :][None, :]
     a2x = fields[4, :][None, :]
     a2y = fields[5, :][None, :]
-    qcap = fields[ROW_QCAP, :][None, :]
+    # qcap = rho^2 = log(opacity / alpha_discard), recomputed from the
+    # exactly-selected opacity row (same formula the XLA side used when it
+    # rode the table; dead splats have opacity 0 -> qcap 0, and their slots
+    # are sentineled by the `live` mask regardless).
+    op_sel = fields[9, :][None, :]
+    if alpha_discard > 0.0:
+        qcap = jnp.maximum(
+            jnp.log(jnp.maximum(op_sel, 1e-30) / alpha_discard), 0.0
+        )
+    else:
+        qcap = jnp.full_like(op_sel, 1e30)
     inv1 = 1.0 / jnp.maximum(a1x * a1x + a1y * a1y, 1e-12)
     inv2 = 1.0 / jnp.maximum(a2x * a2x + a2y * a2y, 1e-12)
     dx_lo = tx * tile_w + 0.5 - cx  # first pixel center of the tile
@@ -358,6 +381,7 @@ def expand_operands(
     pack_axes: bool = False,
     pack_color: bool = False,
     quad_clip: bool = True,
+    alpha_discard: float = 1.0 / 255.0,
     pack_center: bool = False,
     pack_rgba8: bool = False,
     windows: int = 1,
@@ -390,8 +414,6 @@ def expand_operands(
     r0 = jnp.clip(r0, 0, npad - 1)
     meta = jnp.asarray(num_pairs, jnp.int32).reshape((1,))
 
-    bnd2d = boundaries.reshape(-1, 1)
-
     field_dtypes = (
         [jnp.uint32] if pack_center else [jnp.float32, jnp.float32]
     )
@@ -416,18 +438,10 @@ def expand_operands(
         for j in range(w)
         for off in (0, 1)
     ]
-    bnd_specs = [
-        pl.BlockSpec(
-            (c, 1),
-            lambda i, r, m, j=j, off=off: (r[w * i + j] // c + off, 0),
-        )
-        for j in range(w)
-        for off in (0, 1)
-    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(g // w,),
-        in_specs=tbl_specs + bnd_specs,
+        in_specs=tbl_specs,
         out_specs=tuple(
             pl.BlockSpec((1, 1, w * c), out_block) for _ in range(2 + n_field_ops)
         ),
@@ -442,6 +456,7 @@ def expand_operands(
             tile_w=tile_w,
             tile_h=tile_h,
             db=db,
+            alpha_discard=alpha_discard,
             pack_axes=pack_axes,
             pack_color=pack_color,
             quad_clip=quad_clip,
@@ -455,7 +470,7 @@ def expand_operands(
             for dt in [jnp.uint32, jnp.int32] + field_dtypes
         ),
         interpret=interpret,
-    )(r0, meta, *([table_t] * (2 * w)), *([bnd2d] * (2 * w)))
+    )(r0, meta, *([table_t] * (2 * w)))
     return tuple(o.reshape(k) for o in outs)
 
 
@@ -531,15 +546,10 @@ def bin_and_prepare(
 
     x0, y0, nx, ny, counts, valid = tile_rects(proj, width, height, config)
 
-    # Per-splat alpha-discard bound for the kernel's ellipse-interval cull
-    # (see ROW_QCAP): alpha = exp(-q^2) * opacity >= discard requires
-    # q^2 <= rho^2 = log(opacity / discard); the quad-clip |q| <= 2 bound
-    # is applied per-component in the kernel.
-    qcap = jnp.full(n, 1e30, jnp.float32)
-    if config.alpha_discard > 0.0:
-        qcap = jnp.maximum(
-            jnp.log(jnp.maximum(proj.opacity, 1e-30) / config.alpha_discard), 0.0
-        )
+    # The per-splat alpha-discard bound for the kernel's ellipse-interval
+    # cull (qcap = rho^2 = log(opacity / alpha_discard)) is recomputed
+    # IN-KERNEL from the selected opacity row — its former table row now
+    # carries the run boundaries (see ROW_BND_HI).
     live = valid & (counts > 0)
     # Dead splats emit exactly one pair aimed at the sentinel tile: keeps
     # every expansion run non-empty (the kernel's window-coverage invariant)
@@ -562,7 +572,6 @@ def bin_and_prepare(
     boundaries = jnp.full((npad + c,), jnp.iinfo(jnp.int32).max, jnp.int32)
     boundaries = jax.lax.dynamic_update_slice(boundaries, boundaries_core, (0,))
 
-    zeros = jnp.zeros((n,), jnp.float32)
     table = jnp.stack(
         [
             proj.center[:, 0],
@@ -579,16 +588,26 @@ def bin_and_prepare(
             y0f,
             nxf,
             dqf,
-            jnp.where(live, qcap, 1e30),
-            zeros,
         ],
         axis=0,
-    )  # (16, n)
+    )  # (14, n)
     # Dead-splat geometry can be NaN (behind-camera projections); scrub it so
     # sentinel pairs stay finite (they never composite, but NaN poisons
     # nothing-checks and the sort is fed from these columns).
     table = jnp.where(jnp.isfinite(table), table, 0.0)
-    table_t = jnp.pad(table, ((0, 0), (0, npad + c - n)))
+    # Rows 14/15: run boundaries as two f32-exact halves, full padded width
+    # (the INT32_MAX padding splits to 524287/4095 and reassembles exactly,
+    # staying > every slot id).  Riding in the table avoids a separate
+    # boundary operand whose (X, 1) layout lane-pads 128x in HBM
+    # (tools/tpu_jobs/479).
+    table_t = jnp.concatenate(
+        [
+            jnp.pad(table, ((0, 0), (0, npad + c - n))),
+            (boundaries >> 12).astype(jnp.float32)[None, :],
+            (boundaries & 4095).astype(jnp.float32)[None, :],
+        ],
+        axis=0,
+    )  # (16, npad + c)
 
     # The kernel emits sort-ready operands (key, splat, packed fields) —
     # no K-sized field buffer or packing pass exists between it and the
@@ -610,6 +629,7 @@ def bin_and_prepare(
         pack_axes=config.pack_axes_f16,
         pack_color=config.pack_color_f16,
         quad_clip=config.quad_clip,
+        alpha_discard=config.alpha_discard,
         pack_center=pack_center,
         pack_rgba8=pack_rgba8,
         windows=w,

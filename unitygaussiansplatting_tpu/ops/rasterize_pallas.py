@@ -71,6 +71,15 @@ def build_schedule(binning: TileBinning, num_tiles: int, chunk: int):
     k = binning.pair_rank.shape[0]
     g = k // chunk
     num_steps = g + num_tiles
+    # Scalar-prefetch SMEM is ~1 MB total; the packed schedule needs
+    # 2 B/step.  Found the hard way at K=70M pairs (31.5M-splat demo,
+    # tools/tpu_jobs/479): C=128 needs 1.1 MB and Mosaic refuses.
+    if num_steps > 450_000:
+        raise ValueError(
+            f"composite schedule of {num_steps} steps exceeds the ~1 MB "
+            f"SMEM scalar-prefetch budget (K={k}, chunk={chunk}); raise "
+            "config.chunk_size (256 halves it) or shard the frame"
+        )
 
     starts = binning.tile_starts[:-1]  # (T,)
     ends = binning.tile_starts[1:]
