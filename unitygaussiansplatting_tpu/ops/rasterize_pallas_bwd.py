@@ -362,8 +362,8 @@ def steps_to_pair_gradients(
 
 def _run_reduce_kernel(
     r0_ref,  # (G2,) int32 scalar-prefetch: first splat of each block's window
-    bnd_lo_ref,  # (1, C) int32 ROW: run-start boundaries block at r0 // C
-    bnd_hi_ref,  # (1, C) int32 ROW: next block
+    bnd_lo_ref,  # (1, 1, C) int32 ROW: run-start boundaries block at r0 // C
+    bnd_hi_ref,  # (1, 1, C) int32 ROW: next block
     g0_ref,  # (1, 1, C) u32 bf16-packed grad rows (0, 1)
     g1_ref,  # rows (2, 3)
     g2_ref,  # rows (4, 5)
@@ -384,7 +384,7 @@ def _run_reduce_kernel(
     longer than C accumulate across steps without any scatter; the caller
     folds the half-window offset with one shifted add.
     """
-    c = bnd_lo_ref.shape[1]  # boundary blocks are (1, C) rows
+    c = bnd_lo_ref.shape[2]  # boundary blocks are (1, 1, C) rows
     i = pl.program_id(0)
     r0 = r0_ref[i]
     b = r0 // c
@@ -415,7 +415,7 @@ def _run_reduce_kernel(
     # Boundary rows -> the (2C, 1) column the compare needs (a (X, 1) HBM
     # operand lane-pads 128x; the in-kernel transpose is ~free).
     bnd2 = jnp.transpose(
-        jnp.concatenate([bnd_lo_ref[:, :], bnd_hi_ref[:, :]], axis=1), (1, 0)
+        jnp.concatenate([bnd_lo_ref[0, :, :], bnd_hi_ref[0, :, :]], axis=1), (1, 0)
     )  # (2C, 1)
     slots = base + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
     cmp = (bnd2 <= slots).astype(jnp.float32)  # (2C, C)
@@ -457,18 +457,22 @@ def _run_reduce(
     r0 = jnp.searchsorted(boundaries, starts, side="right").astype(jnp.int32) - 1
     r0 = jnp.clip(r0, 0, npad - 1)
 
-    # (nb, C) row blocks: dense layout ((X, 1) would lane-pad 128x in HBM).
-    bnd2d = boundaries.reshape(-1, c)
-    lo_block = lambda i, r: (r[i] // c, 0)
-    hi_block = lambda i, r: (r[i] // c + 1, 0)
+    # (nb, 1, C) row blocks: dense layout ((X, 1) would lane-pad 128x in
+    # HBM), with a singleton middle dim because a 2-D (1, C) block fails
+    # Mosaic's 8/128 block rule (second-to-last block dim 1 is neither
+    # divisible by 8 nor equal to the array's row count — caught on real
+    # TPU by tools/tpu_check.py; interpret mode doesn't enforce it).
+    bnd2d = boundaries.reshape(-1, 1, c)
+    lo_block = lambda i, r: (r[i] // c, 0, 0)
+    hi_block = lambda i, r: (r[i] // c + 1, 0, 0)
     out_block = lambda i, r: (r[i] // c, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(g2,),
         in_specs=[
-            pl.BlockSpec((1, c), lo_block),
-            pl.BlockSpec((1, c), hi_block),
+            pl.BlockSpec((1, 1, c), lo_block),
+            pl.BlockSpec((1, 1, c), hi_block),
         ]
         + [pl.BlockSpec((1, 1, c), lambda i, r: (i, 0, 0)) for _ in range(5)],
         out_specs=(

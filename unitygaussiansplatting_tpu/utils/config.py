@@ -83,6 +83,15 @@ class RasterizeConfig:
     # Static per-tile work cap for the XLA rasterizer path (it needs a static
     # trip count; the Pallas kernel loops to the true per-tile count instead).
     max_pairs_per_tile: int = dataclasses.field(default=8192, metadata={"static": True})
+    # DeviceAsset rendering: decode SH planar (3 x (N, 15) channel arrays)
+    # instead of interleaved (N, 15, 3).  MEMORY knob for very large scenes:
+    # the interleaved form is materialized twice by XLA (the shade path
+    # wants a {0,2,1} layout copy) — 12.7 GB at 31.5M splats, the OOM line
+    # of the one-chip 30M demo (tools/tpu_jobs/479) — while planar holds one
+    # copy.  Costs ~170 ms/frame at 6.1M (shade_sh's strided channel-column
+    # reads, tools/tpu_jobs 7809c90 negative), so off by default; turn on
+    # when the scene doesn't fit otherwise.
+    decode_planar_sh: bool = dataclasses.field(default=False, metadata={"static": True})
     # Stop compositing a tile once max transmittance drops below this
     # (the official 3DGS early-out; reference relies on 1/255 alpha discard).
     transmittance_eps: float = dataclasses.field(default=1e-4, metadata={"static": True})
