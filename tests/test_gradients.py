@@ -320,8 +320,9 @@ def test_run_reduce_straddling_final_window():
         )
         for i in range(5)
     )
+    splat_ids = jnp.asarray(np.repeat(np.arange(n, dtype=np.int32), counts))
     got = np.asarray(
-        _run_reduce(packed, jnp.asarray(offsets), n, c, interpret=True)
+        _run_reduce(packed, splat_ids, jnp.asarray(offsets), n, c, interpret=True)
     )  # (10, n)
 
     expected = np.zeros((10, n), np.float32)
@@ -337,7 +338,8 @@ def test_run_reduce_straddling_final_window():
     off2 = np.minimum(offsets, k2)
     got2 = np.asarray(
         _run_reduce(
-            tuple(p[:k2] for p in packed), jnp.asarray(off2), n, c, interpret=True
+            tuple(p[:k2] for p in packed), splat_ids[:k2], jnp.asarray(off2), n, c,
+            interpret=True,
         )
     )
     exp2 = np.zeros((10, n), np.float32)

@@ -325,7 +325,10 @@ def train(
     return raw, history
 
 
-def psnr_of(raw: RawGaussians, camera: Camera, target, settings, config) -> float:
-    img = render(raw.activate(), camera, settings, config)[..., :3]
+def psnr_of(
+    raw: RawGaussians, camera: Camera, target, settings, config,
+    backend: str = "jax",
+) -> float:
+    img = render(raw.activate(), camera, settings, config, backend=backend)[..., :3]
     mse = float(jnp.mean((img - target) ** 2))
     return 10.0 * float(np.log10(1.0 / max(mse, 1e-12)))

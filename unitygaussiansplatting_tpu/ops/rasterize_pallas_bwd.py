@@ -191,19 +191,69 @@ def _bwd_kernel(
         # Geometry chain: alpha -> (qx, qy) -> (center, axes).
         gx = dalpha * (-2.0 * qx) * alpha  # dL/dqx
         gy = dalpha * (-2.0 * qy) * alpha
+        dexp = dalpha * expp  # dL/dop per pixel (dalpha/dop = exp(power))
+
+        # All ten per-field pixel reductions collapse into four tiny MXU
+        # matvecs: the per-pair constants (a*, inv*, cx, cy) factor out of
+        # every sum, leaving only sums of gx/gy against [1, pxl, pyl]
+        # (tile-local pixel coords, dx = pxl - cxl) and of dexp/w against
+        # [1, d_r, d_g, d_b].  Replaces ten (C, P) VPU lane reductions
+        # (the kernel's largest op family) with 4 x (8, P)x(C, P) dots on
+        # the otherwise-idle MXU.  Precision (Mosaic lowers only DEFAULT
+        # and HIGHEST): on the packed-bf16 gradient path the single-pass
+        # DEFAULT is used — its ~0.4% per-element lhs rounding sits inside
+        # the band the output packing imposes anyway — while the strict
+        # f32 path pays HIGHEST to keep the sums at f32 fidelity.  The
+        # pixel columns ride doubled (odd integers <= 2*max(th,tw)-1 —
+        # bf16-exact below 256, so DEFAULT does not round them) and are
+        # halved after the dot.
+        lane_one = jnp.ones((1, p), jnp.float32)
+        zero_row = jnp.zeros((1, p), jnp.float32)
+        px2 = (2 * (lane_px % tw) + 1).astype(jnp.float32)  # 2 * tile-local px
+        py2 = (2 * (lane_px // tw) + 1).astype(jnp.float32)
+        rhs_geo = jnp.concatenate(
+            [lane_one, px2, py2] + [zero_row] * 5, axis=0
+        )  # (8, P)
+        rhs_cb = jnp.concatenate(
+            [lane_one, d_r[None, :], d_g[None, :], d_b[None, :]] + [zero_row] * 4,
+            axis=0,
+        )  # (8, P)
+        dn = (((1,), (1,)), ((), ()))
+        prec = (
+            jax.lax.Precision.DEFAULT if pack_grads else jax.lax.Precision.HIGHEST
+        )
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, dn, preferred_element_type=jnp.float32, precision=prec
+        )  # (8, C)
+        sg_x = dot(rhs_geo, gx)
+        sg_y = dot(rhs_geo, gy)
+        s_de = dot(rhs_cb, dexp)
+        s_w = dot(rhs_cb, w)
+
+        raw = lambda r: fields_ref[0, r, :]  # (C,)
+        a1xr, a1yr, a2xr, a2yr = raw(2), raw(3), raw(4), raw(5)
+        inv1r = 1.0 / jnp.maximum(a1xr * a1xr + a1yr * a1yr, 1e-12)
+        inv2r = 1.0 / jnp.maximum(a2xr * a2xr + a2yr * a2yr, 1e-12)
+        cxl = raw(0) - tx * tw  # tile-local center (dx = pxl - cxl)
+        cyl = raw(1) - ty * th
+        sgx, sgy = sg_x[0, :], sg_y[0, :]
+        sgx_dx = 0.5 * sg_x[1, :] - cxl * sgx
+        sgx_dy = 0.5 * sg_x[2, :] - cyl * sgx
+        sgy_dx = 0.5 * sg_y[1, :] - cxl * sgy
+        sgy_dy = 0.5 * sg_y[2, :] - cyl * sgy
+        sgx_qx = (a1xr * sgx_dx + a1yr * sgx_dy) * inv1r  # sum gx * qx
+        sgy_qy = (a2xr * sgy_dx + a2yr * sgy_dy) * inv2r
         rows = [
-            jnp.sum(gx * (-a1x * inv1) + gy * (-a2x * inv2), axis=1),  # d cx
-            jnp.sum(gx * (-a1y * inv1) + gy * (-a2y * inv2), axis=1),  # d cy
-            jnp.sum(gx * (dx - 2.0 * qx * a1x) * inv1, axis=1),  # d a1x
-            jnp.sum(gx * (dy - 2.0 * qx * a1y) * inv1, axis=1),  # d a1y
-            jnp.sum(gy * (dx - 2.0 * qy * a2x) * inv2, axis=1),  # d a2x
-            jnp.sum(gy * (dy - 2.0 * qy * a2y) * inv2, axis=1),  # d a2y
+            -(a1xr * inv1r) * sgx - (a2xr * inv2r) * sgy,  # d cx
+            -(a1yr * inv1r) * sgx - (a2yr * inv2r) * sgy,  # d cy
+            (sgx_dx - 2.0 * sgx_qx * a1xr) * inv1r,  # d a1x
+            (sgx_dy - 2.0 * sgx_qx * a1yr) * inv1r,  # d a1y
+            (sgy_dx - 2.0 * sgy_qy * a2xr) * inv2r,  # d a2x
+            (sgy_dy - 2.0 * sgy_qy * a2yr) * inv2r,  # d a2y
             # Color gradients: dL/dc_i = sum_px w_i * D.
-            jnp.sum(w * d_r[None, :], axis=1),
-            jnp.sum(w * d_g[None, :], axis=1),
-            jnp.sum(w * d_b[None, :], axis=1),
-            # Opacity: dalpha/dop = exp(power).
-            jnp.sum(dalpha * expp, axis=1),
+            s_w[1, :], s_w[2, :], s_w[3, :],
+            # Opacity: sum_px dalpha * exp(power).
+            s_de[0, :],
         ]
         if pack_grads:
             # Emit bf16 pairs directly: halves the per-step output rows and
@@ -362,8 +412,7 @@ def steps_to_pair_gradients(
 
 def _run_reduce_kernel(
     r0_ref,  # (G2,) int32 scalar-prefetch: first splat of each block's window
-    bnd_lo_ref,  # (1, 1, C) int32 ROW: run-start boundaries block at r0 // C
-    bnd_hi_ref,  # (1, 1, C) int32 ROW: next block
+    splat_ref,  # (1, 1, C) int32 ROW: sorted splat id of each pair
     g0_ref,  # (1, 1, C) u32 bf16-packed grad rows (0, 1)
     g1_ref,  # rows (2, 3)
     g2_ref,  # rows (4, 5)
@@ -377,14 +426,17 @@ def _run_reduce_kernel(
     The inverse of the expansion kernel's one-hot gather: each grid step
     covers C pairs (sorted by splat id, so runs are contiguous and the C
     pairs reference splats [r0, r0 + 2C) of the aligned window b = r0 // C),
-    builds the same boundary-count one-hot — transposed — and reduces all 16
-    grad rows for up to 2C splats in one (16, C) x (C, 2C) MXU matmul.
+    builds a one-hot from the pairs' OWN splat ids (they rode the grouping
+    sort as its key, so they arrive for free — the first version recounted
+    run boundaries with a (2C, C) compare+sum that measured ~25 ms of the
+    kernel at bicycle scale) and reduces all 16 grad rows for up to 2C
+    splats in one (16, C) x (C, 2C) MXU matmul.
     Successive steps of the same window revisit the same two output blocks
     (VMEM-resident, like the compositing kernels' tile state), so runs
     longer than C accumulate across steps without any scatter; the caller
     folds the half-window offset with one shifted add.
     """
-    c = bnd_lo_ref.shape[2]  # boundary blocks are (1, 1, C) rows
+    c = splat_ref.shape[2]
     i = pl.program_id(0)
     r0 = r0_ref[i]
     b = r0 // c
@@ -408,20 +460,14 @@ def _run_reduce_kernel(
     rows.append(jnp.zeros((6, c), jnp.float32))
     g_blk = jnp.concatenate(rows, axis=0)  # (16, C)
 
-    # Pair p (global slot base + p) belongs to splat win_first + count - 1
-    # with count = #boundaries <= slot within the 2C window (every run is
-    # non-empty, so the window covers all C slots' splats).
-    base = i * c
-    # Boundary rows -> the (2C, 1) column the compare needs (a (X, 1) HBM
-    # operand lane-pads 128x; the in-kernel transpose is ~free).
-    bnd2 = jnp.transpose(
-        jnp.concatenate([bnd_lo_ref[0, :, :], bnd_hi_ref[0, :, :]], axis=1), (1, 0)
-    )  # (2C, 1)
-    slots = base + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
-    cmp = (bnd2 <= slots).astype(jnp.float32)  # (2C, C)
-    count = jnp.sum(cmp, axis=0, keepdims=True)  # (1, C) in [1, 2C]
-    local = count - 1.0
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * c, 1), 0).astype(jnp.float32)
+    # Window-relative splat index, computed in INT32 (splat ids exceed
+    # f32's 2^24 exact range at 30M+ splats; integer subtract/compare has
+    # no such cliff).  Ids are always inside [b*C, b*C + 2C): the window
+    # covers at most C+1 consecutive splats starting at r0 in [b*C,
+    # b*C + C); out-of-budget sentinel ids (== num_splats) land in the
+    # padding column of the final window and are sliced off by the caller.
+    local = splat_ref[0, :, :] - b * c  # (1, C) int32 in [0, 2C)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * c, 1), 0)
     sel = (sub_iota == local).astype(jnp.float32)  # (2C, C) one-hot
 
     # Default (single-bf16-pass) MXU precision is exact here: the grad rows
@@ -436,6 +482,7 @@ def _run_reduce_kernel(
 
 def _run_reduce(
     packed_rows,  # 5 x (K,) u32 bf16-packed grad rows, sorted by splat id
+    splat_sorted: jnp.ndarray,  # (K,) int32 sorted splat id per pair
     offsets_core: jnp.ndarray,  # (N + 1,) int32 run starts (clipped to K)
     num_splats: int,
     chunk: int,
@@ -457,24 +504,18 @@ def _run_reduce(
     r0 = jnp.searchsorted(boundaries, starts, side="right").astype(jnp.int32) - 1
     r0 = jnp.clip(r0, 0, npad - 1)
 
-    # (nb, 1, C) row blocks: dense layout ((X, 1) would lane-pad 128x in
+    # (g2, 1, C) row blocks: dense layout ((X, 1) would lane-pad 128x in
     # HBM), with a singleton middle dim because a 2-D (1, C) block fails
     # Mosaic's 8/128 block rule (second-to-last block dim 1 is neither
     # divisible by 8 nor equal to the array's row count — caught on real
     # TPU by tools/tpu_check.py; interpret mode doesn't enforce it).
-    bnd2d = boundaries.reshape(-1, 1, c)
-    lo_block = lambda i, r: (r[i] // c, 0, 0)
-    hi_block = lambda i, r: (r[i] // c + 1, 0, 0)
+    data_block = lambda i, r: (i, 0, 0)
     out_block = lambda i, r: (r[i] // c, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(g2,),
-        in_specs=[
-            pl.BlockSpec((1, 1, c), lo_block),
-            pl.BlockSpec((1, 1, c), hi_block),
-        ]
-        + [pl.BlockSpec((1, 1, c), lambda i, r: (i, 0, 0)) for _ in range(5)],
+        in_specs=[pl.BlockSpec((1, 1, c), data_block) for _ in range(6)],
         out_specs=(
             pl.BlockSpec((1, _FIELDS, c), out_block),
             pl.BlockSpec((1, _FIELDS, c), out_block),
@@ -488,7 +529,11 @@ def _run_reduce(
             jax.ShapeDtypeStruct((nb, _FIELDS, c), jnp.float32),
         ),
         interpret=interpret,
-    )(r0, bnd2d, bnd2d, *[u.reshape(g2, 1, c) for u in packed_rows])
+    )(
+        r0,
+        splat_sorted.reshape(g2, 1, c),
+        *[u.reshape(g2, 1, c) for u in packed_rows],
+    )
 
     lo = out_lo.transpose(1, 0, 2).reshape(_FIELDS, nb * c)
     hi = out_hi.transpose(1, 0, 2).reshape(_FIELDS, nb * c)
@@ -579,7 +624,8 @@ def pair_gradients_to_splats(
                 k,
             )
             sums = _run_reduce(
-                sorted_[1:], offsets, num_splats, reduce_chunk, interpret=interpret
+                sorted_[1:], sorted_[0], offsets, num_splats, reduce_chunk,
+                interpret=interpret,
             )  # (10, N) by splat id
             return sums.T
         rows = []
