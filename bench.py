@@ -162,6 +162,90 @@ def _relay_up() -> bool:
     return False
 
 
+def _tpu_client_pids() -> set[int]:
+    """PIDs of every OTHER process holding a live TCP connection to a TPU
+    relay port — i.e. every other PJRT client contending for the chip claim.
+
+    Precise by construction (socket-inode match, not cmdline patterns): a
+    process only appears here if it literally has a connection open to the
+    tunnel, which is the definition of a TPU client.  The relay server
+    itself is excluded by direction (its sockets have LOCAL port 8082/…;
+    clients have REMOTE port 8082/…).
+    """
+    import glob as _glob
+
+    inodes = set()
+    for table in ("/proc/net/tcp", "/proc/net/tcp6"):
+        try:
+            lines = open(table).read().splitlines()[1:]
+        except OSError:
+            continue
+        for line in lines:
+            parts = line.split()
+            if len(parts) < 10:
+                continue
+            try:
+                rem_port = int(parts[2].split(":")[1], 16)
+                state = parts[3]
+            except (IndexError, ValueError):
+                continue
+            if state == "01" and rem_port in _RELAY_PORTS:  # ESTABLISHED
+                inodes.add(parts[9])
+    if not inodes:
+        return set()
+    pids = set()
+    me = os.getpid()
+    for fd in _glob.glob("/proc/[0-9]*/fd/*"):
+        try:
+            target = os.readlink(fd)
+        except OSError:
+            continue
+        if target.startswith("socket:["):
+            if target[8:-1] in inodes:
+                pid = int(fd.split("/")[2])
+                if pid != me:
+                    pids.add(pid)
+    return pids
+
+
+def _clear_foreign_tpu_clients() -> None:
+    """Enforce the single-TPU-client rule by construction: kill the EXACT
+    pids holding relay connections (round 4's bench died because a stale
+    worker's claim outlived its pidfile-based kill — BENCH_r04.json)."""
+    pids = _tpu_client_pids()
+    if not pids:
+        return
+    for pid in sorted(pids):
+        try:
+            cmd = open(f"/proc/{pid}/cmdline", "rb").read().decode(errors="replace")
+        except OSError:
+            cmd = "?"
+        print(f"bench: killing TPU client pid {pid} ({cmd[:120]!r})",
+              file=sys.stderr)
+        try:
+            os.kill(pid, signal.SIGTERM)
+        except OSError:
+            pass
+    deadline = time.time() + 15
+    while time.time() < deadline and any(
+        os.path.exists(f"/proc/{p}") for p in pids
+    ):
+        time.sleep(0.3)
+    for pid in pids:
+        if os.path.exists(f"/proc/{pid}"):
+            print(f"bench: SIGKILL TPU client pid {pid}", file=sys.stderr)
+            try:
+                os.kill(pid, signal.SIGKILL)
+            except OSError:
+                pass
+    # Give the relay a moment to notice the disconnects and release the
+    # chip claim before we initiate ours.
+    deadline = time.time() + 30
+    while time.time() < deadline and _tpu_client_pids():
+        time.sleep(0.5)
+    time.sleep(2.0)
+
+
 def _kill_stale_worker():
     """Enforce the single-TPU-client rule: if the dev measurement worker
     (tools/tpu_worker.py) is still alive, stop it by its EXACT recorded pid
@@ -308,11 +392,33 @@ if os.environ.get("BENCH_ALLOW_CPU") != "1":
     # Only when actually claiming the chip: a CPU-mode bench run must not
     # shoot down a live measurement worker.
     _kill_stale_worker()
+    _clear_foreign_tpu_clients()
 _acquire_backend()
 
 import jax
 import numpy as np
 import jax.numpy as jnp
+
+# Persistent compilation cache (VERDICT r4 #1b): the headline fwd+bwd
+# program cold-compiles in ~7-9 min through the tunnel — most of the round
+# 2-4 bench failures were that compile racing the watchdog.  The cache is
+# pre-warmed during the round by a bench rehearsal with identical shapes,
+# so the driver's run replays executables in seconds.  Metadata (source
+# locations) is excluded from the key by default in jax 0.9.
+_CACHE_DIR = os.environ.get(
+    "BENCH_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+try:
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_enable_compilation_cache", True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    print(f"bench: compilation cache at {_CACHE_DIR} "
+          f"({len(os.listdir(_CACHE_DIR))} entries)", file=sys.stderr)
+except Exception as e:  # cache is an optimization, never a failure mode
+    print(f"bench: compilation cache unavailable: {e!r}", file=sys.stderr)
 
 
 def time_frames(fn, scene, frames):

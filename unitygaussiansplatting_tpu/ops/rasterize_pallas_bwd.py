@@ -466,6 +466,14 @@ def _run_reduce_kernel(
     # covers at most C+1 consecutive splats starting at r0 in [b*C,
     # b*C + C); out-of-budget sentinel ids (== num_splats) land in the
     # padding column of the final window and are sliced off by the caller.
+    # LOAD-BEARING INVARIANT (ADVICE r4): an id outside [b*C, b*C + 2C)
+    # would produce an all-zero one-hot column and silently DROP that
+    # pair's gradient.  The bound holds only because pair_expand gives
+    # every splat a non-empty run (counts_slots = max(counts, 1) for dead
+    # splats, pair_expand.py "counts_slots"), so consecutive sorted ids
+    # never skip a splat and a C-pair window spans <= C+1 distinct ids.
+    # tests/test_pallas.py::test_run_window_invariant checks this
+    # numerically; revisit it before changing the slot accounting.
     local = splat_ref[0, :, :] - b * c  # (1, C) int32 in [0, 2C)
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * c, 1), 0)
     sel = (sub_iota == local).astype(jnp.float32)  # (2C, C) one-hot

@@ -36,6 +36,7 @@ from jax.sharding import Mesh, PartitionSpec
 from ..models.camera import Camera
 from ..models.gaussians import Gaussians
 from ..ops.binning import cdiv, tile_grid, tile_rects
+from ..ops.tile_common import quantize_view_fp16
 from ..ops.projection import ProjectedSplats, project_splats
 from ..utils.config import RasterizeConfig, RenderSettings
 from .mesh import SPLAT_AXIS
@@ -95,22 +96,28 @@ def render_strips_culled_fn(
         n_l = proj.depth.shape[0]
         cap = send_capacity(n_l, cap_frac)
 
-        # Strip range per splat from the binner's own conservative bounds.
-        _, y0t, _, nyt, counts, valid = tile_rects(
-            proj, camera.width, camera.height, config
-        )
-        rows_per_strip = strip_h // config.tile_h
-        # One tile row of slack each way: the strip-local binning recomputes
-        # rects on *shifted* centers, and fp rounding at a strip boundary
-        # can move a rect edge by one row — send conservatively, the local
-        # binning culls precisely.
-        s0 = jnp.maximum(y0t - 1, 0) // rows_per_strip
-        s1 = jnp.where(counts > 0, (y0t + nyt) // rows_per_strip, -1)
-
+        # Exact per-destination membership: recompute the rect exactly as
+        # the destination's local binning will — shift the centers by the
+        # dest strip origin (EXACT in f32: origins are multiples of tile_h
+        # and pixel coords are far below 2^24, so the subtraction is a
+        # shared-ulp difference with no rounding), then apply the same fp16
+        # view quantization + tile_rects at strip height that bin_splats
+        # applies to the shifted data it receives.  Bit-for-bit agreement
+        # means zero slack: r4 shipped one tile row of slack each way
+        # instead, which at one-tile-row strips sent every splat to ~3
+        # strips (measured replication 0.43 where the true mean row span
+        # was 1.46 — the dryrun's whole scaling story).
         sends = []
         demands = []
         for dst in range(d_count):
-            mask = valid & (counts > 0) & (s0 <= dst) & (dst <= s1)
+            shifted_d = proj._replace(
+                center=proj.center
+                - jnp.stack([jnp.float32(0.0), jnp.float32(dst * strip_h)])
+            )
+            *_, counts_d, valid_d = tile_rects(
+                quantize_view_fp16(shifted_d, config), camera.width, strip_h, config
+            )
+            mask = valid_d & (counts_d > 0)
             sel, demand = _compact_for_dest(proj, mask, cap)
             sends.append(sel)
             demands.append(demand)
