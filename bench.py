@@ -574,7 +574,9 @@ def main():
         _run_extra("fwd_headline", 90, extra_fwd)
 
     def extra_phases():
-        # Per-phase forward breakdown + pair counters on the headline scene.
+        # Per-phase forward breakdown + pair counters + HBM roofline on the
+        # headline scene (VERDICT r4 #2: bytes-moved and achieved-vs-peak
+        # bandwidth per phase; v5e peak 819 GB/s).
         prof = render_phases(scene, camera, RenderSettings(sh_order=3), config)
         with _RESULT_LOCK:
             _RESULT["phases"] = prof["phases_ms"]
@@ -583,6 +585,7 @@ def main():
                 "budget": prof["pair_budget"],
                 "overflow": prof["overflow"],
             }
+            _RESULT["roofline"] = prof["roofline"]
 
     _run_extra("phases_headline", 150, extra_phases)
 

@@ -127,3 +127,41 @@ def test_rgba8_gradients_pass_straight_through(scene, camera):
     nf = float(jnp.linalg.norm(gf.base_color))
     assert np.isfinite(n8) and n8 > 0
     assert 0.5 < n8 / nf < 2.0, (n8, nf)
+
+
+@pytest.mark.parametrize("mult", [4.0, 0.5], ids=["normal", "truncated"])
+def test_run_window_invariant(scene, camera, mult):
+    # The run-reduce kernel (rasterize_pallas_bwd._run_reduce) silently
+    # drops any pair whose splat id falls outside its window's [b*C,
+    # b*C + 2C) id range (all-zero one-hot column, ADVICE r4).  The range
+    # is guaranteed by pair_expand's non-empty-run slot accounting
+    # (counts_slots = max(counts, 1)); this checks the chain numerically,
+    # including under budget truncation (run offsets clipped to K).
+    from unitygaussiansplatting_tpu.ops.binning import cdiv
+    from unitygaussiansplatting_tpu.ops.pair_expand import bin_and_prepare
+
+    config = RasterizeConfig(pair_multiplier=mult)
+    proj = project_splats(scene, camera)
+    binning, _, _ = bin_and_prepare(
+        proj, camera.width, camera.height, config, interpret=True
+    )
+    n = int(proj.depth.shape[0])
+    k = int(binning.pair_rank.shape[0])
+    c = 512  # pair_gradients_to_splats reduce_chunk default
+    splat_sorted = np.sort(np.asarray(binning.pair_rank))
+    offsets_core = np.minimum(
+        np.concatenate([[0], np.cumsum(np.asarray(binning.rank_counts))]), k
+    ).astype(np.int64)
+    # Replicate _run_reduce's r0 derivation exactly.
+    npad = cdiv(n + 1, c) * c
+    boundaries = np.full((npad + c,), np.iinfo(np.int32).max, np.int64)
+    boundaries[: n + 1] = offsets_core
+    starts = np.arange(k // c) * c
+    r0 = np.clip(np.searchsorted(boundaries, starts, side="right") - 1, 0, npad - 1)
+    b = r0 // c
+    ids = splat_sorted.reshape(k // c, c)
+    lo = (b * c)[:, None]
+    assert ((ids >= lo) & (ids < lo + 2 * c)).all(), (
+        "splat id outside its run-reduce window — a gradient would be "
+        "silently dropped"
+    )

@@ -46,21 +46,76 @@ def test_sharded_render_matches_single_device(camera):
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
 
 
-def test_sharded_train_step_runs_and_improves(camera):
-    raw = sphere_scene(n=512, seed=1)
-    mesh = make_mesh(jax.devices()[:8])
-    raw_sharded = shard_gaussians(raw, mesh)
-    target = jnp.zeros((camera.height, camera.width, 4), jnp.float32)
-    step = train_step_sharded_fn(mesh, camera, settings=SETTINGS, config=CONFIG, lr=5e-3)
-    loss0, raw1 = step(raw_sharded, target)
-    losses = [float(loss0)]
-    raw_cur = raw1
-    for _ in range(5):
-        loss, raw_cur = step(raw_cur, target)
-        losses.append(float(loss))
+_TRAIN_STEP_SNIPPET = """
+import json
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+from unitygaussiansplatting_tpu.models.camera import Camera
+from unitygaussiansplatting_tpu.parallel.mesh import make_mesh, shard_gaussians
+from unitygaussiansplatting_tpu.parallel.render_sharded import train_step_sharded_fn
+from unitygaussiansplatting_tpu.utils.config import RasterizeConfig, RenderSettings
+from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene
+
+camera = Camera.look_at(eye=[0.0, 0.5, -3.0], target=[0, 0, 0], up=[0, 1, 0],
+                        fov_y_deg=45.0, width=128, height=64)
+config = RasterizeConfig(tile_h=8, chunk_size=32, max_pairs_per_tile=1024)
+settings = RenderSettings(sh_order=1)
+raw = sphere_scene(n=512, seed=1)
+mesh = make_mesh(jax.devices()[:8])
+raw_sharded = shard_gaussians(raw, mesh)
+target = jnp.zeros((camera.height, camera.width, 4), jnp.float32)
+step = train_step_sharded_fn(mesh, camera, settings=settings, config=config, lr=5e-3)
+loss0, raw_cur = step(raw_sharded, target)
+losses = [float(loss0)]
+for _ in range(5):
+    loss, raw_cur = step(raw_cur, target)
+    losses.append(float(loss))
+print("RESULT " + json.dumps({
+    "losses": losses,
+    "still_sharded": not raw_cur.means.is_fully_replicated,
+}))
+"""
+
+
+def test_sharded_train_step_runs_and_improves():
+    # Runs in a SUBPROCESS (VERDICT r4 #9): under host oversubscription this
+    # exact computation can SIGABRT inside XLA CPU (collective-thread CHECK
+    # while materializing a sharded scalar under CPU starvation, seen 2x in
+    # round 3 only during concurrent measurement runs).  Isolating it means
+    # a loaded host can no longer take the whole suite down; a signal-death
+    # is retried and then xfailed as the known environment issue, while a
+    # clean-exit failure still fails.
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        "PATH": os.environ.get("PATH", "/usr/bin:/bin"),
+        "HOME": os.environ.get("HOME", "/root"),
+        "PYTHONPATH": repo,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+    }
+    for _ in range(2):
+        r = subprocess.run(
+            [sys.executable, "-c", _TRAIN_STEP_SNIPPET],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        if r.returncode >= 0:
+            break
+    else:
+        pytest.xfail(
+            f"subprocess died with signal {-r.returncode} twice — the known "
+            "XLA-CPU-under-oversubscription abort (CLAUDE.md Testing)"
+        )
+    assert r.returncode == 0, f"train-step subprocess failed:\n{r.stderr[-2000:]}"
+    line = [l for l in r.stdout.splitlines() if l.startswith("RESULT ")][-1]
+    res = json.loads(line[len("RESULT "):])
+    losses = res["losses"]
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
-    # Parameters stay sharded across steps.
-    assert not raw_cur.means.is_fully_replicated
+    assert res["still_sharded"]  # parameters stay sharded across steps
 
 
 def test_sharded_grads_match_single_device(camera):

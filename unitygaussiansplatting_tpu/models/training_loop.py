@@ -51,6 +51,10 @@ class TrainLoopConfig:
     # Slack absorbs densification drift; overflow is still surfaced per
     # frame via RenderStats if the scene outgrows it.
     auto_budget_slack: float = 0.0
+    # Periodic held-out evaluation: every eval_every steps (and at step 0 /
+    # the end) call eval_fn(raw, step) -> value and append (step, value) to
+    # history["evals"] — the PSNR-vs-step curve of a training run.  0 = off.
+    eval_every: int = 0
     # Overflow RECOVERY (VERDICT r3 item 5): when a frame's true pair demand
     # exceeds the static budget mid-training (densification grew the scene
     # past the t=0 sizing), grow pair_multiplier to demand/capacity x
@@ -173,11 +177,15 @@ def train(
     config: RasterizeConfig = RasterizeConfig(),
     backend: str = "jax",
     optimizer: optax.GradientTransformation | None = None,
+    eval_fn=None,
 ) -> tuple[RawGaussians, dict]:
     """Run the full loop; returns (trained_raw, history).
 
-    history: {"losses": [...], "counts": [(step, n), ...], "events": [...]}.
+    history: {"losses": [...], "counts": [(step, n), ...], "events": [...],
+    "evals": [(step, eval_fn result), ...] when loop.eval_every > 0}.
     Targets are (H, W, 3) linear RGB, one per camera; views round-robin.
+    ``eval_fn(raw, step)`` runs OUTSIDE the jitted step (host-driven, e.g.
+    held-out PSNR) at the ``loop.eval_every`` cadence.
     """
     if loop.auto_budget_slack > 0:
         from .renderer import suggest_pair_multiplier
@@ -211,6 +219,8 @@ def train(
     vis_count = jnp.zeros(capacity, jnp.int32)
 
     history = {"losses": [], "counts": [(0, n_live)], "events": []}
+    if loop.eval_every > 0 and eval_fn is not None:
+        history["evals"] = [(0, eval_fn(raw, 0))]
     from ..ops.binning import pair_budget
 
     # Per-step pair demands, collected WITHOUT blocking (device scalars ride
@@ -304,6 +314,13 @@ def train(
         ):
             raw = pad_to_capacity(reset_opacity(raw), capacity)
             history["events"].append((i + 1, "opacity_reset", n_live))
+
+        if (
+            loop.eval_every > 0
+            and eval_fn is not None
+            and ((i + 1) % loop.eval_every == 0 or i + 1 == loop.steps)
+        ):
+            history["evals"].append((i + 1, eval_fn(raw, i + 1)))
 
         if (
             loop.checkpoint_dir

@@ -50,6 +50,104 @@ def _time_call(fn, *args, reps: int = 3) -> tuple[float, Any]:
     return (time.perf_counter() - t0) / reps * 1e3, out
 
 
+V5E_HBM_GBPS = 819.0  # v5e peak HBM bandwidth, GB/s
+
+
+def phase_roofline(
+    n: int,
+    k: int,
+    width: int,
+    height: int,
+    config: RasterizeConfig,
+    sh_order: int,
+    phases_ms: dict,
+) -> dict:
+    """Analytical bytes-moved + achieved-vs-peak HBM bandwidth per phase.
+
+    The model counts the HBM traffic each phase MUST move (reads of its
+    live inputs + writes of its outputs, assuming perfect on-chip reuse);
+    ``pct_of_bound`` is the phase's bandwidth-bound time over its measured
+    time — 100% means the phase runs at the HBM roofline, lower means the
+    gap is compute, latency, or scheduling.  Two phases are not
+    bandwidth-modeled as a single pass:
+
+    - ``bin_prepare``'s sort: ``jax.lax.sort`` is a multi-pass comparison
+      sort; the bound models ceil(log2 K) merge passes over all operand
+      bytes (each pass reads + writes every operand).  A Pallas radix
+      alternative is infeasible on TPU (docs/architecture.md), so this IS
+      the primitive's floor-shape.
+    - ``kernel_untile`` is VPU-compute-bound (every pair evaluates its
+      Gaussian at every pixel of a 2048-px tile); its byte count is tiny
+      by design (that's the point of the field-major layout).
+    """
+    import math
+
+    ops = 2  # key + splat id
+    ops += 1 if getattr(config, "pack_center_u32", False) else 2
+    ops += 2 if config.pack_axes_f16 else 4
+    if getattr(config, "pack_color_rgba8", False):
+        ops += 1
+    elif config.pack_color_f16:
+        ops += 2
+    else:
+        ops += 4
+
+    sh_floats = {0: 0, 1: 9, 2: 24, 3: 45}.get(sh_order, 45)
+    splat_in = (3 + 4 + 3 + 1 + 3 + sh_floats) * 4  # means/rot/scale/op/sh0/sh
+    proj_bytes = (1 + 2 + 2 + 2 + 3 + 3 + 1 + 1) * 4  # ProjectedSplats rows
+    table_bytes = 16 * 4
+    p = config.tile_h * config.tile_w
+    tiles = (width + config.tile_w - 1) // config.tile_w * (
+        (height + config.tile_h - 1) // config.tile_h
+    )
+
+    phases = {
+        # read raw splats, write ProjectedSplats
+        "project": n * (splat_in + proj_bytes),
+        # read proj, write the 16-row field table (+boundaries, small)
+        "table": n * (proj_bytes + table_bytes),
+        # read lo+hi table blocks per step, write the sort operands
+        "expand": 2 * n * table_bytes + k * ops * 4,
+        # ceil(log2 K) merge passes, each read+write of every operand
+        "sort": 2 * math.ceil(math.log2(max(k, 2))) * k * ops * 4,
+        # read sorted operands, write the (K/C, 16, C) field blocks
+        "post": k * (ops * 4 + 16 * 4),
+        # read field blocks once, write the (T+1, 4, P) tile buffer
+        "kernel_untile": k * 16 * 4 + (tiles + 1) * 4 * p * 4 * 2,
+    }
+    # Map onto the measured phase boundaries: bin_prepare covers
+    # table+expand+sort+post in the fused pipeline.
+    merged = {
+        "project": phases["project"],
+        "bin_prepare": phases["table"] + phases["expand"] + phases["sort"]
+        + phases["post"],
+        "schedule": tiles * 4 * 6,
+        "kernel_untile": phases["kernel_untile"],
+    }
+    out = {}
+    for name, bytes_ in merged.items():
+        ms = phases_ms.get(name)
+        if ms is None:
+            continue
+        gb = bytes_ / 1e9
+        bound_ms = gb / V5E_HBM_GBPS * 1e3
+        out[name] = {
+            "ms": ms,
+            "modeled_gb": round(gb, 3),
+            "achieved_gbps": round(gb / (ms / 1e3), 1) if ms > 0 else None,
+            "hbm_bound_ms": round(bound_ms, 1),
+            "pct_of_bound": round(100.0 * bound_ms / ms, 1) if ms > 0 else None,
+        }
+    if "kernel_untile" in out:
+        out["kernel_untile"]["bound"] = "VPU-compute (pair x pixel evals)"
+    if "bin_prepare" in out:
+        out["bin_prepare"]["bound"] = (
+            f"sort: {math.ceil(math.log2(max(k, 2)))} merge passes x "
+            f"{ops} operands"
+        )
+    return out
+
+
 def render_phases(
     gaussians,
     camera,
@@ -117,4 +215,7 @@ def render_phases(
         "num_real_pairs": int(num_real),
         "pair_budget": budget,
         "overflow": num_pairs > budget,
+        "roofline": phase_roofline(
+            n, budget, w, h, config, settings.sh_order, phases
+        ),
     }
