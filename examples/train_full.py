@@ -135,6 +135,19 @@ def main(argv=None):
     print(f"rendered {len(targets)}+{len(held_targets)} targets in "
           f"{time.time() - t0:.0f}s", flush=True)
 
+    rgba8_clip = None
+    if config.pack_color_rgba8:
+        # Guard for the rgba8 pack knob: shaded rgb saturates at 2.0; a
+        # clipped_high fraction >~1e-3 on this scene means highlights would
+        # flatten and the f16 color path should be used instead.
+        from unitygaussiansplatting_tpu.utils.quality import rgba8_clip_fraction
+
+        rgba8_clip = {
+            k: float(v)
+            for k, v in rgba8_clip_fraction(truth, train_cams[0], settings).items()
+        }
+        print(f"rgba8 clip check: {rgba8_clip}", flush=True)
+
     init = (captured_scene(n=args.init_n, seed=77)
             if args.scene == "captured"
             else sphere_scene(n=args.init_n, seed=42))
@@ -207,6 +220,7 @@ def main(argv=None):
             "loss_l1_dssim_last10_mean": round(sum(losses[-10:]) / 10, 5),
             "splat_counts": hist["counts"],
             "events": hist["events"],
+            "rgba8_clip": rgba8_clip,
             "truth_splats": args.truth_n,
             "init_splats": args.init_n,
             "provenance": (

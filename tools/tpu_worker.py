@@ -3,14 +3,35 @@
 Each job runs in a shared namespace (so state persists between jobs);
 stdout/err + timing go to /tmp/tpuq/out/<name>.log.
 """
-import io, os, sys, time, traceback, contextlib
+import io, os, sys, threading, time, traceback, contextlib
 
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp, numpy as np
 
+# Share bench.py's persistent compilation cache: measurement jobs that
+# build bench-identical programs then compile in seconds, and vice versa.
+try:
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_enable_compilation_cache", True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception as e:
+    print(f"compilation cache unavailable: {e!r}", flush=True)
+
 t0 = time.time()
 print(f"worker up, devices={jax.devices()}", flush=True)
+# Warmup watchdog: a worker that starts while its predecessor's client is
+# still dying can hang forever on its first dispatch (seen r5: warmup stuck
+# >18 min while a FRESH process warmed up in 2.4 s).  Die loudly instead —
+# the operator restarts, and a restart always fixes it.
+_wd = threading.Timer(120.0, lambda: (
+    print("warmup hung >120s: stale client state, restart me", flush=True),
+    os._exit(17)))
+_wd.daemon = True
+_wd.start()
 x = jnp.arange(1024.0).sum()
+_wd.cancel()
 print(f"warmup done at {time.time()-t0:.1f}s: {float(x)}", flush=True)
 
 ns = {"jax": jax, "jnp": jnp, "np": np, "time": time}
