@@ -493,10 +493,16 @@ def main():
     )
     # Pair budget: the synthetic scene demands ~3.85 slots per splat at the
     # default 64x32 tiles (fat shell splats); the outdoor scene ~2.21.
+    # 4.0 holds 3.5% headroom across the bench's opacity sweep (measured
+    # demand 23.49-23.59M vs 24.4M budget, tools/tpu_jobs/922).
+    # chunk_size 256: fwd 422.6 -> 394.2 / fwd+bwd 834.2 -> 772.6 ms at
+    # bicycle scale (fewer grid steps in the composite + bwd kernels at
+    # unchanged per-pair work; same job).
     # pack_axes_f16: benchmark perf knob (reference keeps axes f32 — see
     # RasterizeConfig; ~95 ms/frame for a <=0.1% geometry quantization).
     config = RasterizeConfig(
-        pair_multiplier=float(os.environ.get("BENCH_PAIR_MULT", 4.25)),
+        pair_multiplier=float(os.environ.get("BENCH_PAIR_MULT", 4.0)),
+        chunk_size=int(os.environ.get("BENCH_CHUNK", 256)),
         pack_axes_f16=True,
         pack_grads_bf16=True,
         # Rotated-frame center quantization: one sort operand instead of
@@ -618,6 +624,7 @@ def main():
     )
     real_cfg = RasterizeConfig(
         pair_multiplier=float(os.environ.get("BENCH_REAL_PAIR_MULT", 2.5)),
+        chunk_size=int(os.environ.get("BENCH_CHUNK", 256)),
         pack_axes_f16=True,
         pack_grads_bf16=True,
     )
@@ -751,6 +758,7 @@ def main():
         )
         imp_cfg = RasterizeConfig(
             pair_multiplier=float(os.environ.get("BENCH_IMPORT_PAIR_MULT", 3.0)),
+            chunk_size=int(os.environ.get("BENCH_CHUNK", 256)),
             pack_axes_f16=True,
             pack_grads_bf16=True,
         )

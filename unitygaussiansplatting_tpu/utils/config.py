@@ -63,7 +63,10 @@ class RasterizeConfig:
     # on graceful degradation.
     pair_multiplier: float = dataclasses.field(default=4.0, metadata={"static": True})
     # Splats processed per inner-kernel chunk; also the MXU contraction dim of
-    # the color accumulation matmul.
+    # the color accumulation matmul.  128 default (small-scene friendly); at
+    # multi-million-splat scale set 256 — fewer grid steps at unchanged
+    # per-pair work: fwd 422.6 -> 394.2 / fwd+bwd 834.2 -> 772.6 ms at
+    # bicycle scale (tools/tpu_jobs/922; bench.py uses 256).
     chunk_size: int = dataclasses.field(default=128, metadata={"static": True})
     # Pairs per step of the Pallas expansion kernel (ops/pair_expand.py);
     # larger amortizes grid overhead and halves the r0-searchsorted query
