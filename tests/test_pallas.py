@@ -91,8 +91,11 @@ def test_overflow_truncation_is_reported_not_silent(scene, camera):
         RasterizeConfig(pack_axes_f16=True),
         RasterizeConfig(pack_color_rgba8=True),
         RasterizeConfig(pack_axes_f16=True, pack_color_rgba8=True),
+        RasterizeConfig(pack_axes_u32=True),
+        RasterizeConfig(pack_axes_u32=True, pack_color_rgba8=True),
     ],
-    ids=["axes-f16", "color-rgba8", "axes+rgba8"],
+    ids=["axes-f16", "color-rgba8", "axes+rgba8", "axes-u32",
+         "axes-u32+rgba8"],
 )
 def test_pack_knobs_match_xla(scene, camera, config):
     # With packing knobs on, the fused path's quantize/pack/unpack round
@@ -165,3 +168,42 @@ def test_run_window_invariant(scene, camera, mult):
         "splat id outside its run-reduce window — a gradient would be "
         "silently dropped"
     )
+
+
+def test_axes_u32_with_center_pack_close(scene, camera):
+    # pack_center_u32 is lossy by design (pallas-internal), so the combined
+    # bench knob set is gated at the TestPackCenter tolerances instead of
+    # exact agreement: the axis lattice must not widen the center-quant
+    # error band.
+    from unitygaussiansplatting_tpu.models.renderer import render
+
+    base_cfg = RasterizeConfig(pair_multiplier=16.0, pack_axes_u32=True,
+                               pack_color_rgba8=True)
+    packed_cfg = RasterizeConfig(pair_multiplier=16.0, pack_axes_u32=True,
+                                 pack_color_rgba8=True, pack_center_u32=True)
+    base = render(scene, camera, config=base_cfg, backend="pallas")
+    packed = render(scene, camera, config=packed_cfg, backend="pallas")
+    d = np.abs(np.asarray(packed) - np.asarray(base))
+    assert d.max() < 0.05, d.max()
+    assert d.mean() < 5e-4, d.mean()
+    assert (d > 1e-2).mean() < 1e-3
+
+
+def test_axes_u32_grads_finite_and_close(scene, camera):
+    import jax
+
+    from unitygaussiansplatting_tpu.models.renderer import render
+    from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene
+
+    raw = sphere_scene(n=600, seed=2)
+
+    def loss(r, cfg):
+        return jnp.mean(render(r.activate(), camera, config=cfg, backend="pallas"))
+
+    g0 = jax.grad(lambda r: loss(r, RasterizeConfig()))(raw)
+    g1 = jax.grad(lambda r: loss(r, RasterizeConfig(pack_axes_u32=True)))(raw)
+    for f in ("means", "log_scales", "opacity_logits", "sh0"):
+        a, b = np.asarray(getattr(g0, f)), np.asarray(getattr(g1, f))
+        assert np.isfinite(b).all(), f
+        rel = np.abs(b - a).max() / max(np.abs(a).max(), 1e-12)
+        assert rel < 0.05, (f, rel)  # straight-through: small lattice skew only

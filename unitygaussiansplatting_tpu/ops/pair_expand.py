@@ -104,6 +104,7 @@ def _expand_kernel(
     quad_clip: bool,
     pack_center: bool,
     pack_rgba8: bool,
+    pack_ax32: bool = False,
     windows: int = 1,
 ):
     w = windows
@@ -149,6 +150,7 @@ def _expand_kernel(
             quad_clip=quad_clip,
             pack_center=pack_center,
             pack_rgba8=pack_rgba8,
+            pack_ax32=pack_ax32,
         )
 
 
@@ -175,6 +177,7 @@ def _expand_window(
     quad_clip: bool,
     pack_center: bool,
     pack_rgba8: bool,
+    pack_ax32: bool = False,
 ):
     """Expand the C slots [base, base + C) whose splats start at r0."""
     key_ref, splat_ref = refs[0], refs[1]
@@ -242,10 +245,27 @@ def _expand_window(
     # per-pixel form.
     cx = fields[0, :][None, :]
     cy = fields[1, :][None, :]
-    a1x = fields[2, :][None, :]
-    a1y = fields[3, :][None, :]
-    a2x = fields[4, :][None, :]
-    a2y = fields[5, :][None, :]
+    if pack_ax32:
+        # Rows 2/3 carry the (theta*1024 + n1) / n2 axis codes (see
+        # bin_and_prepare); decode to components in-kernel — cos/sin/exp2
+        # all have Mosaic lowerings, and the codes are f32-exact ints.
+        from .tile_common import _AX32_LO, _AX32_STEP, _AX32_TWO_PI
+
+        row_a = fields[2, :][None, :]
+        row_b = fields[3, :][None, :]
+        tcv = jnp.floor(row_a * (1.0 / 1024.0))  # exact: row_a < 2^22
+        n1cv = row_a - tcv * 1024.0
+        theta = tcv * (_AX32_TWO_PI / 4096.0) - 3.14159265358979324
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        n1v = jnp.exp2(_AX32_LO + n1cv * _AX32_STEP)
+        n2v = jnp.exp2(_AX32_LO + row_b * _AX32_STEP)
+        a1x, a1y = n1v * ct, n1v * st
+        a2x, a2y = n2v * st, -n2v * ct
+    else:
+        a1x = fields[2, :][None, :]
+        a1y = fields[3, :][None, :]
+        a2x = fields[4, :][None, :]
+        a2y = fields[5, :][None, :]
     # qcap = rho^2 = log(opacity / alpha_discard), recomputed from the
     # exactly-selected opacity row (same formula the XLA side used when it
     # rode the table; dead splats have opacity 0 -> qcap 0, and their slots
@@ -341,7 +361,11 @@ def _expand_window(
         out = [center_u]
     else:
         out = [row(0), row(1)]
-    if pack_axes:
+    if pack_ax32:
+        # (theta 12 | n1 10 | n2 10): codes are f32-exact ints in rows 2/3.
+        zf = lambda x: jnp.where(live, x, 0.0).astype(jnp.int32).astype(jnp.uint32)
+        out.append((zf(tcv) << 20) | (zf(n1cv) << 10) | zf(row_b))
+    elif pack_axes:
         out.append(_f16_bits(row(2)) | (_f16_bits(row(3)) << 16))
         out.append(_f16_bits(row(4)) | (_f16_bits(row(5)) << 16))
     else:
@@ -384,6 +408,7 @@ def expand_operands(
     alpha_discard: float = 1.0 / 255.0,
     pack_center: bool = False,
     pack_rgba8: bool = False,
+    pack_ax32: bool = False,
     windows: int = 1,
     interpret: bool = False,
 ):
@@ -417,7 +442,12 @@ def expand_operands(
     field_dtypes = (
         [jnp.uint32] if pack_center else [jnp.float32, jnp.float32]
     )
-    field_dtypes += [jnp.uint32] * 2 if pack_axes else [jnp.float32] * 4
+    if pack_ax32:
+        field_dtypes += [jnp.uint32]
+    elif pack_axes:
+        field_dtypes += [jnp.uint32] * 2
+    else:
+        field_dtypes += [jnp.float32] * 4
     if pack_rgba8:
         field_dtypes += [jnp.uint32]
     else:
@@ -462,6 +492,7 @@ def expand_operands(
             quad_clip=quad_clip,
             pack_center=pack_center,
             pack_rgba8=pack_rgba8,
+            pack_ax32=pack_ax32,
             windows=w,
         ),
         grid_spec=grid_spec,
@@ -537,6 +568,7 @@ def bin_and_prepare(
         config.alpha_discard > 0.0 or config.quad_clip
     )
     pack_rgba8 = bool(getattr(config, "pack_color_rgba8", False))
+    pack_ax32 = bool(getattr(config, "pack_axes_u32", False))
     c = config.expand_chunk
     w = int(getattr(config, "expand_windows", 1))
     if (k // c) % w:
@@ -572,14 +604,25 @@ def bin_and_prepare(
     boundaries = jnp.full((npad + c,), jnp.iinfo(jnp.int32).max, jnp.int32)
     boundaries = jax.lax.dynamic_update_slice(boundaries, boundaries_core, (0,))
 
+    if pack_ax32:
+        # Axis codes instead of components in rows 2/3 (row2 = theta*1024 +
+        # n1 <= 2^22, f32-exact; row3 = n2): the kernel decodes per slot
+        # after the selection matmul and emits ONE u32 axis operand.
+        # Re-encoding the lattice-decoded axes from quantize_view_fp16
+        # reproduces the codes exactly (round-trip stable by construction).
+        from .tile_common import axes_u32_codes
+
+        tc_, n1c_, n2c_ = axes_u32_codes(proj.axis1, proj.axis2)
+        ax_rows = [tc_ * 1024.0 + n1c_, n2c_,
+                   jnp.zeros_like(tc_), jnp.zeros_like(tc_)]
+    else:
+        ax_rows = [proj.axis1[:, 0], proj.axis1[:, 1],
+                   proj.axis2[:, 0], proj.axis2[:, 1]]
     table = jnp.stack(
         [
             proj.center[:, 0],
             proj.center[:, 1],
-            proj.axis1[:, 0],
-            proj.axis1[:, 1],
-            proj.axis2[:, 0],
-            proj.axis2[:, 1],
+            *ax_rows,
             proj.color[:, 0],
             proj.color[:, 1],
             proj.color[:, 2],
@@ -632,6 +675,7 @@ def bin_and_prepare(
         alpha_discard=config.alpha_discard,
         pack_center=pack_center,
         pack_rgba8=pack_rgba8,
+        pack_ax32=pack_ax32,
         windows=w,
         interpret=interpret,
     )
@@ -667,7 +711,17 @@ def bin_and_prepare(
     else:
         cx_s, cy_s = rest[:2]
         rest = rest[2:]
-    if config.pack_axes_f16:
+    if pack_ax32:
+        from .tile_common import decode_axes_u32
+
+        (axu,) = rest[:1]
+        rest = rest[1:]
+        axis_rows = list(decode_axes_u32(
+            (axu >> 20).astype(jnp.float32),
+            ((axu >> 10) & 1023).astype(jnp.float32),
+            (axu & 1023).astype(jnp.float32),
+        ))
+    elif config.pack_axes_f16:
         au1, au2 = rest[:2]
         axis_rows = [unh(au1), unh(au1 >> 16), unh(au2), unh(au2 >> 16)]
         rest = rest[2:]

@@ -44,6 +44,42 @@ def _unorm8_round(x: jnp.ndarray, scale: float) -> jnp.ndarray:
     return x + jax.lax.stop_gradient(q - x)
 
 
+# pack_axes_u32 lattice: screen-axis pair as (theta 12-bit, log2|a1| 10-bit,
+# log2|a2| 10-bit).  The axes come from decompose_covariance2d, which
+# guarantees a2 = |a2| * perp(a1_hat) with a FIXED handedness (axis2 =
+# len2 * (v.y, -v.x)), so one angle + two lengths reconstructs both axes
+# exactly orthogonal.  Length range [0.4469.., 4096] px is pinned by the
+# decomposition itself (MIN_LAMBDA=0.1 -> len >= sqrt(0.2); MAX_AXIS_LEN).
+_AX32_LO = -1.3219281  # log2(0.4), just under the sqrt(2*MIN_LAMBDA) floor
+_AX32_STEP = (12.0 - _AX32_LO) / 1023.0  # to log2(MAX_AXIS_LEN)
+_AX32_TWO_PI = 6.2831853071795864769
+
+
+def axes_u32_codes(axis1: jnp.ndarray, axis2: jnp.ndarray):
+    """(theta, n1, n2) integer codes (f32-exact values) of the axis pair."""
+    a1x, a1y = axis1[..., 0], axis1[..., 1]
+    n1 = jnp.sqrt(jnp.maximum(a1x * a1x + a1y * a1y, 1e-12))
+    n2 = jnp.sqrt(jnp.maximum(jnp.sum(axis2 * axis2, axis=-1), 1e-12))
+    theta = jnp.arctan2(a1y, a1x)  # [-pi, pi]
+    tc = jnp.round((theta + 3.14159265358979324) * (4096.0 / _AX32_TWO_PI))
+    tc = jnp.where(tc >= 4096.0, 0.0, tc)  # theta == +pi wraps to -pi
+    nc = lambda n: jnp.clip(
+        jnp.round((jnp.log2(jnp.clip(n, 0.4, 4096.0)) - _AX32_LO) / _AX32_STEP),
+        0.0, 1023.0,
+    )
+    scrub = lambda x: jnp.where(jnp.isfinite(x), x, 0.0)
+    return scrub(tc), scrub(nc(n1)), scrub(nc(n2))
+
+
+def decode_axes_u32(tc: jnp.ndarray, n1c: jnp.ndarray, n2c: jnp.ndarray):
+    """Inverse of :func:`axes_u32_codes`; returns (a1x, a1y, a2x, a2y)."""
+    theta = tc * (_AX32_TWO_PI / 4096.0) - 3.14159265358979324
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    n1 = jnp.exp2(_AX32_LO + n1c * _AX32_STEP)
+    n2 = jnp.exp2(_AX32_LO + n2c * _AX32_STEP)
+    return n1 * ct, n1 * st, n2 * st, -n2 * ct
+
+
 def quantize_view_fp16(proj, config: RasterizeConfig):
     """Round projected color+opacity through fp16 when configured.
 
@@ -65,7 +101,18 @@ def quantize_view_fp16(proj, config: RasterizeConfig):
             color=_f16_round(proj.color),
             opacity=_f16_round(proj.opacity),
         )
-    if config.pack_axes_f16:
+    if getattr(config, "pack_axes_u32", False):
+        # One-u32 axis lattice (supersedes pack_axes_f16): straight-through
+        # gradients like the color lattices.
+        tc, n1c, n2c = axes_u32_codes(proj.axis1, proj.axis2)
+        a1x, a1y, a2x, a2y = decode_axes_u32(tc, n1c, n2c)
+        a1 = jnp.stack([a1x, a1y], axis=-1)
+        a2 = jnp.stack([a2x, a2y], axis=-1)
+        proj = proj._replace(
+            axis1=proj.axis1 + jax.lax.stop_gradient(a1 - proj.axis1),
+            axis2=proj.axis2 + jax.lax.stop_gradient(a2 - proj.axis2),
+        )
+    elif config.pack_axes_f16:
         proj = proj._replace(
             axis1=_f16_round(proj.axis1),
             axis2=_f16_round(proj.axis2),

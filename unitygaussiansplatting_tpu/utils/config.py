@@ -127,6 +127,15 @@ class RasterizeConfig:
     # <=0.1% geometry perturbation.  Off by default; the benchmark enables
     # it.  Applied consistently in all backends when on.
     pack_axes_f16: bool = dataclasses.field(default=False, metadata={"static": True})
+    # Pack BOTH screen axes into ONE u32 sort payload as (theta 12-bit,
+    # log2|a1| 10-bit, log2|a2| 10-bit) — valid because the eigen
+    # decomposition guarantees axis2 = |a2| * perp(axis1) with fixed
+    # handedness, so one angle + two log-lengths reconstructs the pair
+    # exactly orthogonal.  Coarser than f16 (~0.45% max length step vs
+    # ~0.05%) but saves one sort operand (~29 ms at bicycle scale, r5).
+    # Supersedes pack_axes_f16 when set; applied consistently in all
+    # backends (straight-through gradients).  Off by default.
+    pack_axes_u32: bool = dataclasses.field(default=False, metadata={"static": True})
     # Round per-pair backward gradients through bfloat16 so the backward
     # glue's grouping sort (pair_gradients_to_splats) carries them as 5
     # packed u32 payloads instead of 10 f32 — each dropped operand saves
