@@ -81,6 +81,15 @@ def main() -> int:
     check("fwd image finite & nonzero", bool(np.isfinite(img_pal).all()
           and img_pal.mean() > 1e-3))
 
+    # axes-u32 pack (r5): one-u32 axis payload; the first real-TPU exercise
+    # of the in-kernel cos/sin/exp2 axis decode (Mosaic transcendentals).
+    cfg_ax32 = RasterizeConfig(pair_multiplier=6.0, chunk_size=256,
+                               pack_axes_u32=True, pack_grads_bf16=True,
+                               pack_center_u32=True, pack_color_rgba8=True)
+    a32 = jax.jit(lambda g: render(g, cam, settings, cfg_ax32, backend="jax"))(scene)
+    b32 = jax.jit(lambda g: render(g, cam, settings, cfg_ax32, backend="pallas"))(scene)
+    image_gate("fwd pallas == xla (axes-u32 + chunk-256 config)", a32, b32)
+
     # No-quantization config: tighter agreement expected.
     cfg_exact = RasterizeConfig(pair_multiplier=6.0, pack_axes_f16=True,
                                 pack_grads_bf16=True)
