@@ -399,6 +399,12 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
+if os.environ.get("BENCH_ALLOW_CPU") == "1":
+    # Actually pin CPU: the ambient axon sitecustomize overrides
+    # JAX_PLATFORMS, so without this a "CPU" bench run would silently claim
+    # the TPU chip (and contend with whatever owns it).
+    jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache (VERDICT r4 #1b): the headline fwd+bwd
 # program cold-compiles in ~7-9 min through the tunnel — most of the round
 # 2-4 bench failures were that compile racing the watchdog.  The cache is
