@@ -126,12 +126,14 @@ def main(argv=None):
                              )[: args.held_out]
 
     t0 = time.time()
-    targets = [np.asarray(render(truth, c, settings, config,
-                                 backend=args.backend)[..., :3])
-               for c in train_cams]
-    held_targets = [np.asarray(render(truth, c, settings, config,
-                                      backend=args.backend)[..., :3])
-                    for c in held_cams]
+    # One jitted render replayed per camera (the ring shares static shape);
+    # an unjitted render dispatches op-by-op through the TPU tunnel.
+    import jax
+
+    rfn = jax.jit(lambda g, c: render(g, c, settings, config,
+                                      backend=args.backend))
+    targets = [np.asarray(rfn(truth, c)[..., :3]) for c in train_cams]
+    held_targets = [np.asarray(rfn(truth, c)[..., :3]) for c in held_cams]
     print(f"rendered {len(targets)}+{len(held_targets)} targets in "
           f"{time.time() - t0:.0f}s", flush=True)
 

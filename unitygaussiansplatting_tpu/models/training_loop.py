@@ -14,6 +14,7 @@ recompiles when the capacity bucket grows.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 
 import jax
@@ -342,10 +343,18 @@ def train(
     return raw, history
 
 
+@functools.partial(jax.jit, static_argnames=("backend",))
+def _psnr_mse(raw, camera, target, settings, config, backend):
+    img = render(raw.activate(), camera, settings, config, backend=backend)[..., :3]
+    return jnp.mean((img - target) ** 2)
+
+
 def psnr_of(
     raw: RawGaussians, camera: Camera, target, settings, config,
     backend: str = "jax",
 ) -> float:
-    img = render(raw.activate(), camera, settings, config, backend=backend)[..., :3]
-    mse = float(jnp.mean((img - target) ** 2))
+    # Jitted end-to-end: an eager render dispatches hundreds of ops one at
+    # a time (~30-200 ms each through the TPU tunnel) — evals on a ring of
+    # same-shaped cameras compile once and replay.
+    mse = float(_psnr_mse(raw, camera, jnp.asarray(target), settings, config, backend))
     return 10.0 * float(np.log10(1.0 / max(mse, 1e-12)))
