@@ -504,12 +504,14 @@ def main():
     # chunk_size 256: fwd 422.6 -> 394.2 / fwd+bwd 834.2 -> 772.6 ms at
     # bicycle scale (fewer grid steps in the composite + bwd kernels at
     # unchanged per-pair work; same job).
-    # pack_axes_f16: benchmark perf knob (reference keeps axes f32 — see
-    # RasterizeConfig; ~95 ms/frame for a <=0.1% geometry quantization).
+    # pack_axes_u32: benchmark perf knob (reference keeps axes f32).  One
+    # u32 axis payload instead of two: fwd 394.2 -> 372.4 / fwd+bwd 769.6
+    # -> 746.2 ms at bicycle scale, image PSNR 62.8 dB vs the f16-axes
+    # path — visually identical (tools/tpu_jobs/926).
     config = RasterizeConfig(
         pair_multiplier=float(os.environ.get("BENCH_PAIR_MULT", 4.0)),
         chunk_size=int(os.environ.get("BENCH_CHUNK", 256)),
-        pack_axes_f16=True,
+        pack_axes_u32=True,
         pack_grads_bf16=True,
         # Rotated-frame center quantization: one sort operand instead of
         # two.  Measured fwd 505 -> 456 ms / fwd+bwd 1056 -> 1033 ms
@@ -631,7 +633,7 @@ def main():
     real_cfg = RasterizeConfig(
         pair_multiplier=float(os.environ.get("BENCH_REAL_PAIR_MULT", 2.5)),
         chunk_size=int(os.environ.get("BENCH_CHUNK", 256)),
-        pack_axes_f16=True,
+        pack_axes_u32=True,
         pack_grads_bf16=True,
     )
 
@@ -765,7 +767,7 @@ def main():
         imp_cfg = RasterizeConfig(
             pair_multiplier=float(os.environ.get("BENCH_IMPORT_PAIR_MULT", 3.0)),
             chunk_size=int(os.environ.get("BENCH_CHUNK", 256)),
-            pack_axes_f16=True,
+            pack_axes_u32=True,
             pack_grads_bf16=True,
         )
         imp_ms = time_frames(

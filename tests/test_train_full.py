@@ -173,3 +173,32 @@ def test_overflow_recovery_grows_budget():
     # And training still converged despite the mid-run re-jit.
     losses = hist["losses"]
     assert np.mean(losses[-8:]) < np.mean(losses[:8])
+
+
+def test_no_opacity_reset_on_final_step():
+    # A reset landing exactly on the last step returns a cratered cloud
+    # (r5 demo: 34.8 -> 8.5 dB); the loop must skip it.
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unitygaussiansplatting_tpu.models.camera import Camera
+    from unitygaussiansplatting_tpu.models.renderer import render
+    from unitygaussiansplatting_tpu.models.training_loop import (
+        TrainLoopConfig,
+        train,
+    )
+    from unitygaussiansplatting_tpu.utils.config import RasterizeConfig, RenderSettings
+    from unitygaussiansplatting_tpu.utils.synthetic import sphere_scene
+
+    cam = Camera.look_at(eye=[0, 0.5, -3.0], target=[0, 0, 0], up=[0, 1, 0],
+                         fov_y_deg=45.0, width=64, height=48)
+    settings = RenderSettings(sh_order=0)
+    config = RasterizeConfig(tile_h=8, chunk_size=32)
+    truth = sphere_scene(n=300, seed=0).activate()
+    target = np.asarray(render(truth, cam, settings, config)[..., :3])
+    raw = sphere_scene(n=200, seed=1)
+    loop = TrainLoopConfig(steps=6, densify_every=0, budget_check_every=0,
+                           opacity_reset_every=3)
+    trained, hist = train(raw, [cam], [jnp.asarray(target)], loop, settings, config)
+    resets = [e for e in hist["events"] if e[1] == "opacity_reset"]
+    assert [s for s, *_ in resets] == [3], resets  # step 6 (final) skipped

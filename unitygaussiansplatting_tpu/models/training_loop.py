@@ -312,6 +312,12 @@ def train(
         if (
             loop.opacity_reset_every
             and (i + 1) % loop.opacity_reset_every == 0
+            # Never reset on the FINAL step: a reset needs recovery steps to
+            # re-learn opacities, and with none left it just craters the
+            # returned cloud (r5 demo: 34.8 dB -> 8.5 dB from a reset landing
+            # exactly on step 3000).  3DGS's own schedule stops resets half a
+            # cycle before the end for the same reason.
+            and (i + 1) < loop.steps
         ):
             raw = pad_to_capacity(reset_opacity(raw), capacity)
             history["events"].append((i + 1, "opacity_reset", n_live))
