@@ -585,7 +585,7 @@ def main():
             )
 
     if mode == "fwd_bwd":
-        _run_extra("fwd_headline", 90, extra_fwd)
+        _run_extra("fwd_headline", 60, extra_fwd)
 
     def extra_phases():
         # Per-phase forward breakdown + pair counters + HBM roofline on the
@@ -618,7 +618,7 @@ def main():
                     for k, v in clip.items()
                 }
 
-    _run_extra("phases_headline", 150, extra_phases)
+    _run_extra("phases_headline", 90, extra_phases)
 
     # Realistic-capture-statistics scene (VERDICT r1 item 7): same splat
     # count and resolution, trained-outdoor-scene-like distributions.
@@ -664,7 +664,7 @@ def main():
                 "overflow": rprof["overflow"],
             }
 
-    _run_extra("outdoor_scene", 240, extra_outdoor)
+    _run_extra("outdoor_scene", 150, extra_outdoor)
 
     def extra_viewer():
         # Frame-coherence amortization (VERDICT r4 #7): the reference skips
@@ -678,10 +678,19 @@ def main():
         sess = ViewerSession(scene, camera, RenderSettings(sh_order=3),
                              config, backend=backend)
         jax.block_until_ready(sess.frame())  # compile + first frame
+        # Warm the moving path too, then time like time_frames does
+        # (async dispatches, one final block — per-frame blocking adds a
+        # full tunnel round-trip per frame and r5's first rehearsal showed
+        # a one-off ~60 s first-distinct-view cost that is not frame cost).
+        jax.block_until_ready(
+            sess.frame(view=jnp.asarray(camera.view).at[0, 3].add(1e-5))
+        )
         t0 = time.perf_counter()
+        out = None
         for i in range(4):  # moving camera: every frame renders
             v = jnp.asarray(camera.view).at[0, 3].add(1e-4 * (i + 1))
-            jax.block_until_ready(sess.frame(view=v))
+            out = sess.frame(view=v)
+        jax.block_until_ready(out)
         moving_ms = (time.perf_counter() - t0) / 4 * 1e3
         jax.block_until_ready(sess.frame())
         t0 = time.perf_counter()
@@ -696,7 +705,7 @@ def main():
                 "frames_reused": sess.stats.reused,
             }
 
-    _run_extra("viewer_amortization", 60, extra_viewer)
+    _run_extra("viewer_amortization", 45, extra_viewer)
 
     def extra_device_asset():
         # Device-resident compressed rendering (the reference's 1.3 GB-VRAM
@@ -732,7 +741,7 @@ def main():
                 "compression_on_device": round(float_bytes / da.device_bytes(), 2),
             }
 
-    _run_extra("device_asset", 240, extra_device_asset)
+    _run_extra("device_asset", 150, extra_device_asset)
 
     def extra_imported():
         # Imported-scene metric (VERDICT r2 #5): a procedurally-authored
@@ -798,7 +807,7 @@ def main():
                 },
             }
 
-    _run_extra("imported_scene", 300, extra_imported)
+    _run_extra("imported_scene", 240, extra_imported)
 
     with _RESULT_LOCK:
         _RESULT["total_bench_s"] = round(_elapsed(), 1)

@@ -84,7 +84,12 @@ def phase_roofline(
 
     ops = 2  # key + splat id
     ops += 1 if getattr(config, "pack_center_u32", False) else 2
-    ops += 2 if config.pack_axes_f16 else 4
+    if getattr(config, "pack_axes_u32", False):
+        ops += 1
+    elif config.pack_axes_f16:
+        ops += 2
+    else:
+        ops += 4
     if getattr(config, "pack_color_rgba8", False):
         ops += 1
     elif config.pack_color_f16:
