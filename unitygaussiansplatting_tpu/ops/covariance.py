@@ -193,3 +193,102 @@ def decompose_covariance2d(cov2d: jnp.ndarray) -> ScreenAxes:
     axis1 = len1[..., None] * vec
     axis2 = len2[..., None] * jnp.stack([vec[..., 1], -vec[..., 0]], axis=-1)
     return ScreenAxes(axis1, axis2)
+
+
+def project_covariance_planar(
+    rot_xyzw: jnp.ndarray,  # (N, 4)
+    scale: jnp.ndarray,  # (N, 3)
+    splat_scale2: jnp.ndarray,  # () cov scale factor
+    view_pos: jnp.ndarray,  # (N, 3)
+    view_rot: jnp.ndarray,  # (3, 3) world->view rotation
+    focal: jnp.ndarray,
+    tan_fovx: jnp.ndarray,
+    tan_fovy: jnp.ndarray,
+) -> tuple[ScreenAxes, jnp.ndarray]:
+    """Fused covariance3d -> ewa_project -> decompose on PLANAR columns.
+
+    Same arithmetic as the three separate functions (term-for-term), but
+    every intermediate is an (N,) column and each output field is stacked
+    exactly once — the (N, 3, 3)/(N, 3) intermediates of the composable
+    API cost ~8 ns/element in cross-lane assembly on TPU (CLAUDE.md r3
+    decode lesson; measured here: the three-stage chain is 30.2 ms unfused
+    at 6.1M splats where the byte bound is ~2 ms, tools/tpu_jobs/930).
+    Returns (ScreenAxes, cov2d (N, 3) pixel-space).
+    """
+    x = rot_xyzw[..., 0]
+    y = rot_xyzw[..., 1]
+    z = rot_xyzw[..., 2]
+    w = rot_xyzw[..., 3]
+    s0 = scale[..., 0]
+    s1 = scale[..., 1]
+    s2 = scale[..., 2]
+    # R rows (GaussianSplatting.hlsl:36-44), as 9 columns.
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    # M = R diag(s); Sigma = M M^T entries, scaled by splat_scale^2.
+    m00, m01, m02 = r00 * s0, r01 * s1, r02 * s2
+    m10, m11, m12 = r10 * s0, r11 * s1, r12 * s2
+    m20, m21, m22 = r20 * s0, r21 * s1, r22 * s2
+    vxx = (m00 * m00 + m01 * m01 + m02 * m02) * splat_scale2
+    vxy = (m00 * m10 + m01 * m11 + m02 * m12) * splat_scale2
+    vxz = (m00 * m20 + m01 * m21 + m02 * m22) * splat_scale2
+    vyy = (m10 * m10 + m11 * m11 + m12 * m12) * splat_scale2
+    vyz = (m10 * m20 + m11 * m21 + m12 * m22) * splat_scale2
+    vzz = (m20 * m20 + m21 * m21 + m22 * m22) * splat_scale2
+
+    # EWA Jacobian fold (ewa_project, term-for-term).
+    zc = view_pos[..., 2]
+    lim_x = CLAMP_FACTOR * tan_fovx
+    lim_y = CLAMP_FACTOR * tan_fovy
+    tx = jnp.clip(view_pos[..., 0] / zc, -lim_x, lim_x) * zc
+    ty = jnp.clip(view_pos[..., 1] / zc, -lim_y, lim_y) * zc
+    inv_z = 1.0 / zc
+    inv_z2 = inv_z * inv_z
+    j00 = focal * inv_z
+    j02 = -focal * tx * inv_z2
+    j12 = -focal * ty * inv_z2
+    t00 = j00 * view_rot[0, 0] + j02 * view_rot[2, 0]
+    t01 = j00 * view_rot[0, 1] + j02 * view_rot[2, 1]
+    t02 = j00 * view_rot[0, 2] + j02 * view_rot[2, 2]
+    t10 = j00 * view_rot[1, 0] + j12 * view_rot[2, 0]
+    t11 = j00 * view_rot[1, 1] + j12 * view_rot[2, 1]
+    t12 = j00 * view_rot[1, 2] + j12 * view_rot[2, 2]
+
+    def _quad(a0, a1, a2, b0, b1, b2):
+        return (
+            a0 * (vxx * b0 + vxy * b1 + vxz * b2)
+            + a1 * (vxy * b0 + vyy * b1 + vyz * b2)
+            + a2 * (vxz * b0 + vyz * b1 + vzz * b2)
+        )
+
+    cxx = _quad(t00, t01, t02, t00, t01, t02) + COV2D_LOWPASS
+    cyy = _quad(t10, t11, t12, t10, t11, t12) + COV2D_LOWPASS
+    cxy = -_quad(t00, t01, t02, t10, t11, t12)  # y-up NDC -> y-down pixels
+
+    # decompose_covariance2d, column form.
+    mid = 0.5 * (cxx + cyy)
+    radius = jnp.sqrt(
+        jnp.maximum(jnp.square((cxx - cyy) * 0.5) + jnp.square(cxy), 1e-24)
+    )
+    lam1 = mid + radius
+    lam2 = jnp.maximum(mid - radius, MIN_LAMBDA)
+    vx = cxy
+    vy = lam1 - cxx
+    norm = jnp.sqrt(jnp.maximum(vx * vx + vy * vy, 1e-30))
+    ok = norm > 1e-12
+    nrm = jnp.maximum(norm, 1e-12)  # division, matching decompose_covariance2d
+    vxn = jnp.where(ok, vx / nrm, 1.0)
+    vyn = jnp.where(ok, vy / nrm, 0.0)
+    len1 = jnp.minimum(jnp.sqrt(2.0 * lam1), MAX_AXIS_LEN)
+    len2 = jnp.minimum(jnp.sqrt(2.0 * lam2), MAX_AXIS_LEN)
+    axis1 = jnp.stack([len1 * vxn, len1 * vyn], axis=-1)
+    axis2 = jnp.stack([len2 * vyn, -(len2 * vxn)], axis=-1)
+    cov2d = jnp.stack([cxx, cxy, cyy], axis=-1)
+    return ScreenAxes(axis1, axis2), cov2d

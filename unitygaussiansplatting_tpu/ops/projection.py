@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.config import RenderSettings
-from .covariance import covariance3d, decompose_covariance2d, ewa_project
+from .covariance import project_covariance_planar
 from .sh import shade_sh
 
 if TYPE_CHECKING:  # avoid a models <-> ops circular import at runtime
@@ -94,15 +94,18 @@ def project_splats(
 
     center = camera.view_to_pixel(view_pos)
 
-    # 3D covariance in object space, scaled by splat_scale^2 (compute:229-235).
-    cov6 = covariance3d(g.rotations, g.scales)
-    splat_scale2 = jnp.square(jnp.asarray(settings.splat_scale, dtype=cov6.dtype))
-    cov6 = cov6 * splat_scale2
-
-    cov2d = ewa_project(
-        view_pos, cov6, mv[:3, :3], camera.focal, camera.tan_fovx, camera.tan_fovy
+    # 3D covariance in object space (scaled by splat_scale^2, compute:229-235)
+    # -> EWA 2D -> screen axes, fused on planar (N,) columns: same math as
+    # covariance3d/ewa_project/decompose_covariance2d term-for-term, but
+    # without the (N, 3, 3)/(N, 3) intermediates whose cross-lane assembly
+    # dominated the stage (30.2 -> ~8 ms at 6.1M splats, tools/tpu_jobs/930/934).
+    splat_scale2 = jnp.square(
+        jnp.asarray(settings.splat_scale, dtype=g.scales.dtype)
     )
-    axes = decompose_covariance2d(cov2d)
+    axes, cov2d = project_covariance_planar(
+        g.rotations, g.scales, splat_scale2, view_pos, mv[:3, :3],
+        camera.focal, camera.tan_fovx, camera.tan_fovy,
+    )
 
     cxx, cxy, cyy = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
     det = cxx * cyy - cxy * cxy
